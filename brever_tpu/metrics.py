@@ -1,0 +1,270 @@
+"""Objective speech metrics: PESQ / STOI / ESTOI / SNR / SI-SNR.
+
+Mirrors the reference metric registry surface (reference
+brever/metrics.py:16-150). Differences forced by this environment:
+
+* ``pystoi``/``batch_pystoi`` are not installed, so STOI and ESTOI are
+  implemented here from the published algorithms (Taal et al., ICASSP
+  2011; Jensen & Taal, TASLP 2016) with the standard constants
+  (10 kHz, 256/512 frames, 15 one-third octave bands from 150 Hz,
+  384 ms segments, beta = -15 dB, 40 dB VAD range). Host-side numpy —
+  metrics run during validation off the device hot path.
+* ``pesq`` (ITU-T P.862 C library) is optional: the registry entry
+  exists for API parity and raises a clear error when the library is
+  missing.
+
+Contract: all metrics give identical results batched-padded vs
+per-item (lengths argument), like the reference.
+"""
+
+import numpy as np
+import scipy.signal
+
+from .criterion import CriterionRegistry
+from .registry import Registry
+
+MetricRegistry = Registry('metric')
+
+EPS = np.finfo(np.float32).eps
+
+# STOI constants
+_STOI_FS = 10000
+_STOI_FRAME = 256
+_STOI_NFFT = 512
+_STOI_HOP = 128
+_STOI_NBANDS = 15
+_STOI_MINFREQ = 150.0
+_STOI_SEG = 30          # frames per 384 ms segment
+_STOI_BETA = -15.0      # lower SDR bound (dB)
+_STOI_DYN_RANGE = 40.0  # VAD dynamic range (dB)
+
+
+def _to_numpy(x):
+    if x is None:
+        return None
+    return np.asarray(x)
+
+
+def _third_octave_bands(fs, nfft, num_bands, min_freq):
+    """One-third octave band matrix over rFFT bins."""
+    f = np.linspace(0, fs, nfft + 1)[:nfft // 2 + 1]
+    k = np.arange(num_bands)
+    freq_low = min_freq * 2.0**((2 * k - 1) / 6)
+    freq_high = min_freq * 2.0**((2 * k + 1) / 6)
+    obm = np.zeros((num_bands, len(f)))
+    for i in range(num_bands):
+        lo = np.argmin((f - freq_low[i])**2)
+        hi = np.argmin((f - freq_high[i])**2)
+        obm[i, lo:hi] = 1
+    return obm
+
+
+_OBM = _third_octave_bands(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
+_WIN = np.hanning(_STOI_FRAME + 2)[1:-1]
+
+
+def _frame(x, frame_len, hop):
+    n_frames = max((len(x) - frame_len) // hop + 1, 0)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
+    return x[idx]
+
+
+def _overlap_add(frames, hop):
+    n = (len(frames) - 1) * hop + frames.shape[1]
+    out = np.zeros(n)
+    for i, frame in enumerate(frames):
+        out[i * hop:i * hop + frames.shape[1]] += frame
+    return out
+
+
+def _remove_silent_frames(x, y, dyn_range, frame_len, hop):
+    """Drop frames where the clean signal is more than ``dyn_range`` dB
+    below its loudest frame, then re-synthesize both signals."""
+    x_frames = _frame(x, frame_len, hop) * _WIN
+    y_frames = _frame(y, frame_len, hop) * _WIN
+    energies = 20 * np.log10(np.linalg.norm(x_frames, axis=1) + EPS)
+    mask = energies > energies.max() - dyn_range
+    if not mask.any():
+        raise RuntimeError('all frames were classified as silent; cannot '
+                           'compute STOI')
+    return _overlap_add(x_frames[mask], hop), \
+        _overlap_add(y_frames[mask], hop)
+
+
+def _band_envelopes(x):
+    """(frames, bins) power spectrum -> (bands, frames) envelopes."""
+    frames = _frame(x, _STOI_FRAME, _STOI_HOP) * _WIN
+    spec = np.fft.rfft(frames, _STOI_NFFT, axis=1)
+    return np.sqrt(_OBM @ (np.abs(spec)**2).T)
+
+
+def _sliding_segments(spec, seg_len):
+    """(bands, T) -> (M, bands, seg_len), sliding window with step 1."""
+    n_frames = spec.shape[1]
+    return np.array([
+        spec[:, m - seg_len:m] for m in range(seg_len, n_frames + 1)
+    ])
+
+
+def _stoi_single(deg, ref, fs, extended):
+    """STOI/ESTOI of one pair of 1-D signals (deg = estimate, ref = clean)."""
+    deg = np.asarray(deg, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
+    if deg.shape != ref.shape:
+        raise ValueError('signals must have the same shape')
+    if fs != _STOI_FS:
+        deg = scipy.signal.resample_poly(deg, _STOI_FS, fs)
+        ref = scipy.signal.resample_poly(ref, _STOI_FS, fs)
+
+    ref, deg = _remove_silent_frames(
+        ref, deg, _STOI_DYN_RANGE, _STOI_FRAME, _STOI_HOP
+    )
+
+    x_spec = _band_envelopes(ref)   # clean
+    y_spec = _band_envelopes(deg)   # degraded
+    if x_spec.shape[1] < _STOI_SEG:
+        raise RuntimeError(
+            f'signal too short for STOI: {x_spec.shape[1]} frames after '
+            f'silence removal, need at least {_STOI_SEG}'
+        )
+
+    x_seg = _sliding_segments(x_spec, _STOI_SEG)  # (M, J, N)
+    y_seg = _sliding_segments(y_spec, _STOI_SEG)
+
+    if extended:
+        def row_col_normalize(seg):
+            seg = seg - seg.mean(axis=2, keepdims=True)
+            seg = seg / (np.linalg.norm(seg, axis=2, keepdims=True) + EPS)
+            seg = seg - seg.mean(axis=1, keepdims=True)
+            seg = seg / (np.linalg.norm(seg, axis=1, keepdims=True) + EPS)
+            return seg
+
+        x_n = row_col_normalize(x_seg)
+        y_n = row_col_normalize(y_seg)
+        return float(
+            np.sum(x_n * y_n / _STOI_SEG) / x_n.shape[0]
+        )
+
+    # classic STOI: normalize + clip the degraded envelope, correlate
+    norm_const = (
+        np.linalg.norm(x_seg, axis=2, keepdims=True)
+        / (np.linalg.norm(y_seg, axis=2, keepdims=True) + EPS)
+    )
+    y_norm = y_seg * norm_const
+    clip_val = 10**(-_STOI_BETA / 20)
+    y_prime = np.minimum(y_norm, x_seg * (1 + clip_val))
+
+    y_prime = y_prime - y_prime.mean(axis=2, keepdims=True)
+    x_c = x_seg - x_seg.mean(axis=2, keepdims=True)
+    y_prime = y_prime / (np.linalg.norm(y_prime, axis=2, keepdims=True) + EPS)
+    x_c = x_c / (np.linalg.norm(x_c, axis=2, keepdims=True) + EPS)
+    corr = np.sum(y_prime * x_c)
+    return float(corr / (x_seg.shape[0] * x_seg.shape[1]))
+
+
+def _stoi(x, y, fs, extended, batched, lengths):
+    """Dispatch over batch/lengths like the reference wrapper."""
+    x, y, lengths = _to_numpy(x), _to_numpy(y), _to_numpy(lengths)
+    if x.ndim == 1:
+        if lengths is not None and not batched:
+            raise ValueError('Non-batched stoi does not support lengths '
+                             'argument for 1D inputs.')
+        return _stoi_single(x, y, fs, extended)
+    if lengths is None:
+        lengths = [x.shape[-1]] * x.shape[0]
+    return np.array([
+        _stoi_single(xi[:n], yi[:n], fs, extended)
+        for xi, yi, n in zip(x, y, lengths)
+    ])
+
+
+@MetricRegistry.register('stoi')
+def stoi(x, y, fs=16000, batched=True, lengths=None):
+    """Short-time objective intelligibility (x = estimate, y = clean)."""
+    return _stoi(x, y, fs, False, batched, lengths)
+
+
+@MetricRegistry.register('estoi')
+def estoi(x, y, fs=16000, batched=True, lengths=None):
+    """Extended STOI."""
+    return _stoi(x, y, fs, True, batched, lengths)
+
+
+@MetricRegistry.register('pesq')
+def pesq(x, y, fs=16000, mode='wb', normalized=False, batched=True,
+         lengths=None):
+    """PESQ (ITU-T P.862) through the optional ``pesq`` C library.
+
+    ``normalized=True`` maps raw MOS-LQO scores onto [0, 1] using the
+    published hard bounds (reference brever/metrics.py:71-93).
+    """
+    try:
+        from pesq import pesq as pesq_fn
+    except ImportError as e:
+        raise RuntimeError(
+            "the 'pesq' library is not installed in this environment; "
+            "PESQ evaluation is unavailable (install ludlows/PESQ for "
+            "ITU-T P.862 scores)"
+        ) from e
+
+    x, y, lengths = _to_numpy(x), _to_numpy(y), _to_numpy(lengths)
+    if x.ndim == 1:
+        out = pesq_fn(fs, y, x, mode=mode)
+    else:
+        if lengths is None:
+            lengths = [x.shape[-1]] * x.shape[0]
+        out = np.array([
+            pesq_fn(fs, yi[:n], xi[:n], mode=mode)
+            for xi, yi, n in zip(x, y, lengths)
+        ])
+    if normalized:
+        bounds = {'nb': (1.0, 4.548638319075995),
+                  'wb': (1.0, 4.643888749336258)}
+        if mode not in bounds:
+            raise ValueError(f"mode must be 'nb' or 'wb', got '{mode}'")
+        lo, hi = bounds[mode]
+        out = (out - lo) / (hi - lo)
+        if np.any(np.asarray(out) < 0) or np.any(np.asarray(out) > 1):
+            raise RuntimeError(
+                f'normalized PESQ score is out of bounds: {out}')
+    return out
+
+
+def _check_input(x, y, lengths):
+    import jax.numpy as jnp
+    if x.shape != y.shape:
+        raise ValueError(
+            f'inputs must have same shape, got {x.shape} and {y.shape}')
+    unbatched = x.ndim == 1
+    if unbatched:
+        x, y = x[None], y[None]
+    if x.ndim != 2:
+        raise ValueError(f'input must be 1 or 2 dimensional, got {x.ndim}')
+    x, y = x[:, None], y[:, None]  # add source dimension
+    if lengths is None:
+        lengths = jnp.full((x.shape[0],), x.shape[-1], dtype=jnp.int32)
+    else:
+        if len(lengths) != x.shape[0]:
+            raise ValueError(
+                'lengths must have same length as batch size, got '
+                f'{len(lengths)} and {x.shape[0]}')
+        if any(int(n) > x.shape[-1] for n in np.asarray(lengths)):
+            raise ValueError(
+                'lengths items must be smaller than input length, got '
+                f'lengths={lengths} and input.shape={x.shape}')
+        lengths = jnp.asarray(lengths)
+    return jnp.asarray(x), jnp.asarray(y), lengths, unbatched
+
+
+@MetricRegistry.register('snr')
+def snr(x, y, lengths=None):
+    x, y, lengths, unbatched = _check_input(x, y, lengths)
+    out = -CriterionRegistry.get('snr')(x, y, lengths)
+    return float(out[0]) if unbatched else out
+
+
+@MetricRegistry.register('sisnr')
+def sisnr(x, y, lengths=None):
+    x, y, lengths, unbatched = _check_input(x, y, lengths)
+    out = -CriterionRegistry.get('sisnr')(x, y, lengths)
+    return float(out[0]) if unbatched else out

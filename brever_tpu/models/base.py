@@ -1,0 +1,162 @@
+"""Model family base class and registry.
+
+The reference's ``BreverBaseModel`` is a torch ``nn.Module`` that owns
+its optimizer and implements train/val steps imperatively (reference
+brever/models/base.py:12-358). The TPU-native equivalent is a *family
+object*: a plain Python class that bundles
+
+* a flax module (``self.module``) and its init,
+* pure, jittable functions — ``loss(variables, batch, lengths, rng)``
+  and ``_enhance(variables, x)`` — that the trainer traces into the
+  sharded train step,
+* an optax optimizer chain (``optimizer()``), replacing per-model
+  ``torch.optim`` ownership,
+* host-side hooks: ``transform`` (device-side feature extraction, also
+  usable on host), ``pre_train`` (e.g. dataset statistics),
+  ``on_validate`` (LR schedules).
+
+Per-item loss contract: ``loss`` returns a ``(batch,)`` vector (or a
+dict of vectors for GANs). The trainer masks rows added to round the
+batch up to the mesh size (their ``lengths`` are 0) before averaging —
+this is what makes data-parallel padding exact rather than approximate.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..criterion import init_criterion
+from ..registry import Registry
+
+ModelRegistry = Registry('model')
+
+
+def count_params(variables, collection='params'):
+    """Number of trainable parameters in a variables pytree."""
+    tree = variables.get(collection, variables) \
+        if isinstance(variables, dict) else variables
+    return sum(np.prod(leaf.shape).item() if hasattr(leaf, 'shape') else 1
+               for leaf in jax.tree.leaves(tree))
+
+
+def sample_weighted_mean(per_item, lengths):
+    """Mean over real samples only (rows with length 0 are mesh padding)."""
+    if per_item.ndim == 0:
+        return per_item
+    weights = (lengths > 0).astype(per_item.dtype)
+    if weights.ndim > 1:
+        weights = weights[:, 0]
+    return (per_item * weights).sum() / jnp.maximum(weights.sum(), 1)
+
+
+class BreverBaseModel:
+    """Base for all model families.
+
+    Subclasses must set ``self.module`` (a flax module) and implement
+    ``loss`` and ``_enhance``; they may override ``transform``,
+    ``init_variables``, ``optimizer``, ``pre_train`` and
+    ``on_validate``.
+    """
+
+    _is_submodel = False
+
+    #: gradient clipping max-norm (0 disables), chained into optax
+    grad_clip = 0.0
+    #: compute dtype for the forward pass; params stay fp32
+    compute_dtype = jnp.float32
+    #: sources the model consumes from the dataset
+    default_sources = ['mixture', 'foreground']
+
+    def __init__(self, criterion=None, **criterion_kwargs):
+        if criterion is not None and isinstance(criterion, str):
+            criterion = init_criterion(criterion, **criterion_kwargs)
+        self.criterion = criterion
+        self.module = None
+
+    # ------------------------------------------------------------------
+    # construction
+
+    def example_input(self, batch_size=1, length=16000):
+        """Example batch used to initialize module parameters."""
+        return jnp.zeros((batch_size, 2, 2, length), jnp.float32)
+
+    def init_variables(self, rng):
+        """Initialize the flax variables pytree (params + aux
+        collections)."""
+        raise NotImplementedError
+
+    def optimizer(self):
+        """optax chain; single transformation or tuple for multi-opt
+        models (GANs)."""
+        tx = optax.adam(self.learning_rate)
+        if self.grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
+        return tx
+
+    # ------------------------------------------------------------------
+    # pure functions traced into the train step
+
+    def transform(self, sources):
+        """Pre-processing from raw sources to model inputs.
+
+        Pure jnp; shape ``(n_sources, channels, samples)`` or batched
+        with a leading batch axis. Runs inside the jitted step on TPU
+        (fused with the model) or on host for tests/datasets.
+        """
+        return sources
+
+    def loss(self, variables, batch, lengths, rng, train=True):
+        """Per-item loss vector ``(batch,)`` (or dict of vectors)."""
+        raise NotImplementedError
+
+    def _enhance(self, variables, x):
+        """Batched enhancement: ``(B, 2, n) -> (B, n)`` or
+        ``(B, S, n)``."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # convenience wrappers
+
+    def enhance(self, variables, x, rng=None):
+        """Unbatched/batched enhancement wrapper (reference
+        brever/models/base.py:122-176)."""
+        x = jnp.asarray(x)
+        unbatched = x.ndim == 2
+        if unbatched:
+            x = x[None]
+        elif x.ndim != 3:
+            raise ValueError(
+                f'input must be 2 or 3 dimensional, got {x.ndim}')
+        out = self._enhance(variables, x)
+        return out[0] if unbatched else out
+
+    # ------------------------------------------------------------------
+    # hooks
+
+    def pre_train(self, variables, dataset, dataloader, epochs):
+        """One-off pre-training work (e.g. input statistics). Returns
+        possibly-updated variables."""
+        return variables
+
+    def on_validate(self, val_loss):
+        """Called after each validation loop; may return an optax
+        hyperparameter update (see trainer)."""
+        return None
+
+    # ------------------------------------------------------------------
+    # helpers
+
+    @staticmethod
+    def frame_count(lengths, frame_length, hop_length):
+        """Traced frame count matching ``STFT.frame_count``."""
+        lengths = jnp.asarray(lengths)
+        return (jnp.ceil(
+            jnp.maximum(lengths - frame_length, 0) / hop_length
+        ) + 1).astype(jnp.int32)
+
+    @staticmethod
+    def static_frame_count(samples, frame_length, hop_length):
+        return math.ceil(max(samples - frame_length, 0) / hop_length) + 1

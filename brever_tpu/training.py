@@ -1,0 +1,728 @@
+"""Training engine: sharded-jit steps, checkpoints, timers, logging.
+
+Role parity with the reference trainer (brever/training.py:25-774):
+resumable checkpoints (last/best/pinned), LossLogger (losses.npz +
+training_curve.png), TrainingTimer with ETA, per-``val_period``
+validation with objective metrics on enhanced audio, optional EMA and
+W&B.
+
+TPU-native differences:
+* the train step is a pure function jitted over a data-parallel
+  ``Mesh`` (params replicated, batch sharded) — no DDP wrapper, no
+  GradScaler (bf16 needs no loss scaling), no ``dist.reduce`` (the
+  sharded mean *is* the global mean).
+* batches are padded to static shapes: lengths quantized to
+  ``pad_quantum`` samples and the batch axis rounded up to a multiple
+  of the mesh size (rows with length 0 are masked out of the loss), so
+  XLA compiles a bounded set of executables.
+* EMA updates fuse into the jitted step (pytree arithmetic).
+"""
+
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .batching import BatchSamplerRegistry, DistributedBatchSamplerWrapper
+from .checkpoint import load_checkpoint, save_checkpoint
+from .data import BreverDataLoader, BreverDataset
+from .inspect import NoParse, Parse
+from .metrics import MetricRegistry
+from .models import count_params
+from .models.base import BreverBaseModel, sample_weighted_mean
+from .parallel.mesh import get_mesh, shard_batch
+from .utils import MathDict
+
+try:
+    import wandb
+except ImportError:
+    wandb = None
+
+
+class BreverTrainer:
+    """Orchestrates training of a model family on a device mesh.
+
+    The ``__init__`` signature is introspected for the trainer CLI
+    options (same contract as the reference).
+    """
+
+    def __init__(
+        self,
+        model: NoParse[BreverBaseModel],
+        train_dataset: NoParse[BreverDataset],
+        val_dataset: NoParse[BreverDataset],
+        model_dirpath: NoParse[str],
+        workers: int = 0,
+        epochs: int = 100,
+        device: int | Parse[str] = 'tpu',
+        batch_sampler: str = 'bucket',
+        batch_size: int = 32,
+        num_buckets: int = 10,
+        dynamic_batch_size: bool = True,
+        fs: int = 16000,
+        ema: bool = False,
+        ema_decay: float = 0.999,
+        ignore_checkpoint: bool = False,
+        preload: bool = False,
+        ddp: bool = False,
+        rank: int = 0,
+        use_wandb: bool = False,
+        profile: bool = False,
+        val_metrics: set[str] = {'pesq', 'estoi', 'snr'},
+        val_period: int = 10,
+        use_amp: bool = False,
+        compile: bool = True,
+        save_on_epochs: list[int] = [],
+        seed: int = 0,
+        pad_quantum: float = 0.5,
+    ):
+        if preload and workers > 0:
+            logging.warning('Cannot use workers > 0 with preload=True. '
+                            'Forcing workers=0.')
+            workers = 0
+
+        self.model = model
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.model_dirpath = model_dirpath
+        self.epochs = epochs
+        self.ignore_checkpoint = ignore_checkpoint
+        self.preload = preload
+        self.use_wandb = use_wandb and wandb is not None
+        self.profile = profile
+        self.val_metrics = val_metrics
+        self.val_period = val_period
+        self.save_on_epochs = save_on_epochs
+        self.seed = seed
+        self.use_amp = use_amp
+        self.rank = jax.process_index()
+
+        # device mesh: every addressable device of the requested kind
+        if device == 'cpu':
+            devices = jax.devices('cpu')
+        else:
+            devices = jax.devices()
+        self.mesh = get_mesh(devices)
+        self.n_devices = len(devices)
+
+        self.checkpoints_dir = os.path.join(model_dirpath, 'checkpoints')
+        self.last_ckpt_path = os.path.join(self.checkpoints_dir, 'last.ckpt')
+        self.epochs_ran = 0
+        self.max_memory_allocated = 0
+
+        # batch samplers: bucket (or requested) for train; sorted +
+        # dynamic for validation to bound padded batch size
+        sampler_cls = BatchSamplerRegistry.get(batch_sampler)
+        sampler_kwargs = dict(
+            batch_size=batch_size, dynamic=dynamic_batch_size, fs=fs)
+        if batch_sampler == 'bucket':
+            sampler_kwargs['num_buckets'] = num_buckets
+        self.train_batch_sampler = sampler_cls(
+            dataset=train_dataset, **sampler_kwargs)
+        if dynamic_batch_size:
+            val_batch_size = batch_size
+        else:
+            val_batch_size = \
+                batch_size * train_dataset.get_max_segment_length() / fs
+        self.val_batch_sampler = BatchSamplerRegistry.get('sorted')(
+            dataset=val_dataset, batch_size=val_batch_size, dynamic=True,
+            fs=fs)
+
+        if jax.process_count() > 1:
+            self.train_batch_sampler = DistributedBatchSamplerWrapper(
+                self.train_batch_sampler)
+            self.val_batch_sampler = DistributedBatchSamplerWrapper(
+                self.val_batch_sampler)
+
+        pad_to_multiple = round(pad_quantum * fs) if pad_quantum else None
+        self.train_dataloader = BreverDataLoader(
+            dataset=train_dataset,
+            batch_sampler=self.train_batch_sampler,
+            num_workers=workers,
+            pad_to_multiple=pad_to_multiple,
+        )
+        self.val_dataloader = BreverDataLoader(
+            dataset=val_dataset,
+            batch_sampler=self.val_batch_sampler,
+            num_workers=workers,
+            pad_to_multiple=pad_to_multiple,
+        )
+
+        # optimizer chain from the model (+ global-norm clip if set)
+        tx = model.optimizer()
+        if model.grad_clip:
+            tx = optax.chain(
+                optax.clip_by_global_norm(model.grad_clip), tx)
+        self.tx = tx
+
+        self.use_ema = ema
+        self.ema_decay = ema_decay
+
+        self.loss_logger = LossLogger(model_dirpath)
+        self.checkpoint_saver = CheckpointSaver(
+            dirpath=self.checkpoints_dir, save_func=self.save_checkpoint)
+        self.timer = TrainingTimer(epochs, val_period)
+
+        self.state = None
+        self._train_step = None
+        self._val_step = None
+
+    # ------------------------------------------------------------------
+    # state construction
+
+    def init_state(self):
+        rng = jax.random.PRNGKey(self.seed)
+        init_rng, step_rng = jax.random.split(rng)
+        variables = self.model.init_variables(init_rng)
+        params = variables.pop('params')
+        state = {
+            'params': params,
+            'aux': variables,  # stats/batch_stats/other collections
+            'opt_state': self.tx.init(params),
+            'step': jnp.zeros((), jnp.int32),
+            'rng': step_rng,
+        }
+        if self.use_ema:
+            state['ema'] = jax.tree.map(jnp.array, params)
+        return state
+
+    def build_steps(self):
+        model = self.model
+        tx = self.tx
+        ema_decay = self.ema_decay
+        use_ema = self.use_ema
+        compute_dtype = jnp.bfloat16 if self.use_amp else None
+
+        def loss_fn(params, aux, batch, lengths, rng, train):
+            variables = {'params': params, **aux}
+            if compute_dtype is not None:
+                batch = jax.tree.map(
+                    lambda x: x.astype(compute_dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, batch)
+            per_item = model.loss(variables, batch, lengths, rng,
+                                  train=train)
+            if isinstance(per_item, dict):
+                scalars = {
+                    k: sample_weighted_mean(v, lengths)
+                    for k, v in per_item.items()
+                }
+                total = sum(scalars.values())
+                return total, scalars
+            scalar = sample_weighted_mean(per_item, lengths)
+            return scalar, scalar
+
+        def train_step(state, batch, lengths, _):
+            rng, step_rng = jax.random.split(state['rng'])
+            grads, loss = jax.grad(
+                lambda p: loss_fn(p, state['aux'], batch, lengths,
+                                  step_rng, True),
+                has_aux=True,
+            )(state['params'])
+            updates, opt_state = tx.update(
+                grads, state['opt_state'], state['params'])
+            params = optax.apply_updates(state['params'], updates)
+            new_state = {
+                **state,
+                'params': params,
+                'opt_state': opt_state,
+                'step': state['step'] + 1,
+                'rng': rng,
+            }
+            if use_ema:
+                new_state['ema'] = jax.tree.map(
+                    lambda e, p: e + (1 - ema_decay) * (p - e),
+                    state['ema'], params)
+            return new_state, loss
+
+        def val_step(state, batch, lengths, _):
+            params = state['ema'] if use_ema else state['params']
+            _, loss = loss_fn(params, state['aux'], batch, lengths,
+                              state['rng'], False)
+            return state, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._val_step = jax.jit(val_step)
+
+    # ------------------------------------------------------------------
+    # main loop
+
+    def run(self):
+        os.makedirs(self.checkpoints_dir, exist_ok=True)
+
+        logging.info(f'Mesh: {self.n_devices} device(s), '
+                     f'{jax.process_count()} process(es)')
+
+        if os.path.exists(self.last_ckpt_path) \
+                and not self.ignore_checkpoint:
+            logging.info('Checkpoint found')
+            self.state = self.init_state()
+            self.build_steps()
+            self.load_checkpoint()
+            if self.epochs_ran == self.epochs:
+                logging.info('Model is already trained')
+                return
+        else:
+            self.state = self.init_state()
+            self.build_steps()
+            if self.preload:
+                self.train_dataset.preload(tqdm_desc='train preload')
+                self.val_dataset.preload(tqdm_desc='val preload')
+            # pre-train hook (e.g. FFNN input statistics) on fresh runs;
+            # uses a dedicated unshuffled loader so the epoch-seeded
+            # training sampler state is untouched
+            pre_train_loader = BreverDataLoader(
+                dataset=self.train_dataset,
+                batch_sampler=BatchSamplerRegistry.get('sorted')(
+                    dataset=self.train_dataset,
+                    batch_size=self.val_batch_sampler.batch_size,
+                    dynamic=True, shuffle=False, fs=1,
+                ),
+                pad_to_multiple=self.train_dataloader.pad_to_multiple,
+            )
+            variables = {'params': self.state['params'],
+                         **self.state['aux']}
+            variables = self.model.pre_train(
+                variables, self.train_dataset, pre_train_loader,
+                self.epochs)
+            params = variables.pop('params')
+            self.state['params'] = params
+            self.state['aux'] = variables
+
+        n_params = count_params(self.state['params'])
+        logging.info(f'Number of parameters: {n_params:,}')
+        logging.info(
+            f'Train dataset duration: {self.train_dataset._duration}')
+        logging.info(f'Val dataset duration: {self.val_dataset._duration}')
+
+        if self.profile:
+            jax.profiler.start_trace(
+                os.path.join(self.model_dirpath, 'profile'))
+        try:
+            self.training_loop()
+        finally:
+            if self.profile:
+                jax.profiler.stop_trace()
+
+    def training_loop(self):
+        logging.info('Starting training loop')
+        self.timer.start()
+        for epoch in range(self.epochs_ran, self.epochs):
+            self.train_dataloader.set_epoch(epoch)
+            train_loss = self.routine(epoch, train=True)
+
+            validate = epoch % self.val_period == 0
+            if validate:
+                self.val_dataloader.set_epoch(epoch)
+                val_loss, metrics = self.routine(epoch, train=False)
+                hyper_update = self.model.on_validate(val_loss)
+                if hyper_update is not None:
+                    self._apply_hyper_update(hyper_update)
+            else:
+                val_loss, metrics = None, None
+
+            self.loss_logger.add(train_loss, val_loss, metrics)
+            self.epochs_ran = epoch + 1
+            self._update_memory_stats()
+
+            if self.rank == 0:
+                log_msg = f'Epoch {epoch}: train loss: {train_loss}'
+                if val_loss is not None:
+                    log_msg += f'; val loss: {val_loss}'
+                if metrics:
+                    log_msg += f'; metrics: {metrics}'
+                logging.info(log_msg)
+                if self.use_wandb:
+                    payload = {'train': train_loss}
+                    if val_loss is not None:
+                        payload['val'] = val_loss
+                    if metrics:
+                        payload['metrics'] = metrics
+                    wandb.log(payload, step=epoch)
+                if validate:
+                    self.checkpoint_saver.update(
+                        epoch, val_loss, metrics)
+                self.save_checkpoint(self.last_ckpt_path)
+                if epoch in self.save_on_epochs:
+                    self.save_checkpoint(os.path.join(
+                        self.checkpoints_dir, f'epoch={epoch}.ckpt'))
+
+            self.timer.lap(validated=validate)
+            if self.rank == 0:
+                logging.info(self.timer.log())
+
+        if self.rank == 0:
+            self.loss_logger.save()
+            self.loss_logger.plot()
+        logging.info('Done')
+
+    def routine(self, epoch, train=True):
+        dataloader = self.train_dataloader if train else self.val_dataloader
+        step = self._train_step if train else self._val_step
+        total = None
+        count = 0
+        metric_totals = None
+        metric_count = 0
+        for batch, lengths in dataloader:
+            batch, lengths, n_real = self._pad_batch(batch, lengths)
+            device_batch, device_lengths = self._to_device(batch, lengths)
+            self.state, loss = step(
+                self.state, device_batch, device_lengths, None)
+            loss = jax.tree.map(float, loss)
+            if isinstance(loss, dict):
+                loss = MathDict(loss)
+            total = loss * n_real if total is None \
+                else total + loss * n_real
+            count += n_real
+            if not train and self.val_metrics:
+                batch_metrics = self.compute_metrics(
+                    device_batch, device_lengths, n_real)
+                if batch_metrics:
+                    weighted = MathDict(
+                        {k: v * n_real for k, v in batch_metrics.items()})
+                    metric_totals = weighted if metric_totals is None \
+                        else metric_totals + weighted
+                    metric_count += n_real
+        mean_loss = total / max(count, 1) if total is not None else 0.0
+        if train:
+            return mean_loss
+        metrics = None
+        if metric_count:
+            metrics = dict(metric_totals / metric_count)
+        return mean_loss, metrics
+
+    def compute_metrics(self, batch, lengths, n_real):
+        """Objective metrics on enhanced audio (first source = input
+        mixture, channel-mean of second source = target)."""
+        if isinstance(batch, list):
+            return {}
+        inputs = batch[:, 0]               # (B, channels, samples)
+        targets = batch[:, 1].mean(axis=-2)  # (B, samples)
+        params = self.state['ema'] if self.use_ema else self.state['params']
+        variables = {'params': params, **self.state['aux']}
+        enhanced = self.model.enhance(variables, inputs)
+        if enhanced.ndim == 3:  # separation models: first source
+            enhanced = enhanced[:, 0]
+        enhanced = np.asarray(enhanced)[:n_real]
+        targets = np.asarray(targets)[:n_real]
+        lengths_host = np.asarray(lengths)[:n_real]
+        if lengths_host.ndim > 1:
+            lengths_host = lengths_host[:, 0]
+        out = {}
+        for name in sorted(self.val_metrics):
+            metric = MetricRegistry.get(name)
+            try:
+                values = metric(enhanced, targets, lengths=lengths_host)
+            except RuntimeError as e:
+                logging.warning(f'skipping metric {name}: {e}')
+                continue
+            out[name] = float(np.mean(np.asarray(values)))
+        return out
+
+    # ------------------------------------------------------------------
+    # helpers
+
+    def _pad_batch(self, batch, lengths):
+        """Round the batch axis up to a multiple of the mesh size (and
+        a power-of-two-friendly quantum of 8) with masked rows."""
+        quantum = max(self.n_devices, min(8, self.n_devices * 8))
+
+        def pad_rows(x):
+            pad = (-x.shape[0]) % quantum
+            if pad == 0:
+                return x
+            filler = np.repeat(np.asarray(x[:1]), pad, axis=0)
+            return np.concatenate([np.asarray(x), filler], axis=0)
+
+        n_real = lengths.shape[0]
+        if isinstance(batch, list):
+            batch = [pad_rows(x) for x in batch]
+        else:
+            batch = pad_rows(batch)
+        pad = (-n_real) % quantum
+        if pad:
+            lengths = np.concatenate(
+                [lengths, np.zeros((pad,) + lengths.shape[1:],
+                                   lengths.dtype)])
+        return batch, lengths, n_real
+
+    def _to_device(self, batch, lengths):
+        sharded = shard_batch((batch, lengths), self.mesh)
+        return sharded
+
+    def _apply_hyper_update(self, update):
+        """Apply a model-driven hyperparameter change (e.g. LR drop)
+        by re-initializing the optax chain state hyperparams."""
+        if callable(update):
+            self.tx = update(self.tx)
+            self.build_steps()
+
+    def _update_memory_stats(self):
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats and 'peak_bytes_in_use' in stats:
+                self.max_memory_allocated = max(
+                    self.max_memory_allocated, stats['peak_bytes_in_use'])
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
+    # checkpointing
+
+    def save_checkpoint(self, path):
+        state = {
+            'epochs': self.epochs_ran,
+            'params': self.state['params'],
+            'aux': self.state['aux'],
+            'opt_state': _opt_state_to_pytree(self.state['opt_state']),
+            'step': self.state['step'],
+            'rng': self.state['rng'],
+            'losses': self.loss_logger.state_dict(),
+            'max_memory_allocated': self.max_memory_allocated,
+            'timer': self.timer.state_dict(),
+            'best': self.checkpoint_saver.state_dict(),
+        }
+        if self.use_ema:
+            state['ema'] = self.state['ema']
+        save_checkpoint(path, state)
+
+    def load_checkpoint(self, path=None):
+        state = load_checkpoint(path or self.last_ckpt_path)
+        self.epochs_ran = int(state['epochs'])
+        restored = {
+            'params': _restore_like(self.state['params'], state['params']),
+            'aux': _restore_like(self.state['aux'], state['aux']),
+            'opt_state': _restore_opt_state(
+                self.state['opt_state'], state['opt_state']),
+            'step': jnp.asarray(state['step']),
+            'rng': jnp.asarray(state['rng']),
+        }
+        if self.use_ema:
+            restored['ema'] = _restore_like(
+                self.state.get('ema'), state['ema'])
+        self.state = restored
+        self.loss_logger.load_state_dict(state['losses'])
+        self.timer.load_state_dict(state['timer'])
+        self.checkpoint_saver.load_state_dict(state['best'])
+        self.max_memory_allocated = state.get('max_memory_allocated', 0)
+        logging.info(f'Resuming training at epoch {self.epochs_ran}')
+
+
+def _opt_state_to_pytree(opt_state):
+    """optax states are namedtuple trees; msgpack can't encode tuples,
+    so convert every container to dict/list, preserving leaf order."""
+
+    def convert(node):
+        if isinstance(node, dict):
+            return {k: convert(v) for k, v in node.items()}
+        if isinstance(node, (tuple, list)):
+            return [convert(v) for v in node]
+        return node
+
+    return convert(opt_state)
+
+
+def _restore_like(template, data):
+    return jax.tree.map(
+        lambda t, d: jnp.asarray(d, dtype=t.dtype).reshape(t.shape)
+        if hasattr(t, 'shape') else d,
+        template, data,
+        is_leaf=lambda x: not isinstance(x, (dict, list, tuple)),
+    )
+
+
+def _restore_opt_state(template, data):
+    """Restore serialized leaves into the optax namedtuple structure."""
+    leaves_t, treedef = jax.tree.flatten(template)
+    leaves_d = jax.tree.leaves(data)
+    if len(leaves_t) != len(leaves_d):
+        raise ValueError('optimizer state does not match checkpoint')
+    restored = [
+        jnp.asarray(d, dtype=t.dtype).reshape(t.shape)
+        if hasattr(t, 'shape') else type(t)(d)
+        for t, d in zip(leaves_t, leaves_d)
+    ]
+    return jax.tree.unflatten(treedef, restored)
+
+
+class TrainingTimer:
+    """Running per-epoch/per-validation averages and ETA."""
+
+    def __init__(self, epochs, val_period):
+        self.epochs = epochs
+        self.val_period = val_period
+        self.epoch_time_sum = 0.0
+        self.epoch_count = 0
+        self.val_extra_sum = 0.0
+        self.val_count = 0
+        self._lap_start = None
+
+    def start(self):
+        self._lap_start = time.time()
+
+    def lap(self, validated=False):
+        now = time.time()
+        elapsed = now - self._lap_start
+        self._lap_start = now
+        self.epoch_time_sum += elapsed
+        self.epoch_count += 1
+        if validated:
+            self.val_count += 1
+
+    @property
+    def avg_epoch_time(self):
+        return self.epoch_time_sum / max(self.epoch_count, 1)
+
+    def eta(self):
+        remaining = self.epochs - self.epoch_count
+        return remaining * self.avg_epoch_time
+
+    def log(self):
+        return (f'Avg epoch time: {self.avg_epoch_time:.2f} s; '
+                f'ETA: {self.eta():.0f} s')
+
+    def state_dict(self):
+        return {
+            'epoch_time_sum': self.epoch_time_sum,
+            'epoch_count': self.epoch_count,
+            'val_count': self.val_count,
+        }
+
+    def load_state_dict(self, state):
+        self.epoch_time_sum = float(state['epoch_time_sum'])
+        self.epoch_count = int(state['epoch_count'])
+        self.val_count = int(state['val_count'])
+        self._lap_start = time.time()
+
+
+class LossLogger:
+    """Accumulates loss/metric history; writes losses.npz and
+    training_curve.png."""
+
+    def __init__(self, dirpath):
+        self.dirpath = dirpath
+        self.train_loss = []
+        self.val_loss = []
+        self.metrics = []
+
+    def add(self, train_loss, val_loss, metrics=None):
+        self.train_loss.append(self._plain(train_loss))
+        self.val_loss.append(self._plain(val_loss))
+        self.metrics.append(metrics)
+
+    @staticmethod
+    def _plain(x):
+        if isinstance(x, dict):
+            return {k: float(v) for k, v in x.items()}
+        return None if x is None else float(x)
+
+    def save(self):
+        np.savez(
+            os.path.join(self.dirpath, 'losses.npz'),
+            train=np.array(self.train_loss, dtype=object),
+            val=np.array(self.val_loss, dtype=object),
+            metrics=np.array(self.metrics, dtype=object),
+            allow_pickle=True,
+        )
+
+    def plot(self):
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+        except ImportError:
+            return
+        fig, ax = plt.subplots()
+        train = [x if isinstance(x, float) else
+                 (sum(x.values()) if x else None) for x in self.train_loss]
+        val = [x if isinstance(x, float) or x is None else
+               sum(x.values()) for x in self.val_loss]
+        ax.plot(train, label='train')
+        val_epochs = [i for i, v in enumerate(val) if v is not None]
+        ax.plot(val_epochs, [val[i] for i in val_epochs], label='val')
+        ax.set_xlabel('epoch')
+        ax.set_ylabel('loss')
+        ax.legend()
+        fig.savefig(os.path.join(self.dirpath, 'training_curve.png'))
+        plt.close(fig)
+
+    def state_dict(self):
+        import json
+        return json.dumps({
+            'train': self.train_loss,
+            'val': self.val_loss,
+            'metrics': self.metrics,
+        })
+
+    def load_state_dict(self, state):
+        import json
+        data = json.loads(state)
+        self.train_loss = data['train']
+        self.val_loss = data['val']
+        self.metrics = data['metrics']
+
+
+class CheckpointSaver:
+    """Keeps one best checkpoint per tracked quantity.
+
+    Losses are minimized, metrics maximized; the superseded best file
+    is deleted (reference brever/training.py:668-699).
+    """
+
+    def __init__(self, dirpath, save_func):
+        self.dirpath = dirpath
+        self.save_func = save_func
+        self.best = {}   # name -> (value, path)
+
+    def update(self, epoch, val_loss, metrics=None):
+        quantities = {}
+        if isinstance(val_loss, dict):
+            for key, value in val_loss.items():
+                quantities[f'loss_{key}'] = (float(value), min)
+        elif val_loss is not None:
+            quantities['loss'] = (float(val_loss), min)
+        if metrics:
+            for key, value in metrics.items():
+                quantities[key] = (float(value), max)
+        for name, (value, better) in quantities.items():
+            current = self.best.get(name)
+            if current is None or better(value, current[0]) == value:
+                path = os.path.join(
+                    self.dirpath, f'epoch={epoch}_{name}={value:.4f}.ckpt')
+                self.save_func(path)
+                if current is not None and os.path.exists(current[1]):
+                    os.remove(current[1])
+                self.best[name] = (value, path)
+
+    def state_dict(self):
+        import json
+        return json.dumps(self.best)
+
+    def load_state_dict(self, state):
+        import json
+        self.best = {k: tuple(v) for k, v in json.loads(state).items()}
+
+
+class EarlyStopping:
+    """Patience-based early stopping on the validation loss.
+
+    Present for API parity (deprecated in the reference,
+    brever/training.py:738-774)."""
+
+    def __init__(self, patience=10, min_delta=0.0):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.best = None
+        self.counter = 0
+
+    def step(self, val_loss):
+        """Returns True when training should stop."""
+        if self.best is None or val_loss < self.best - self.min_delta:
+            self.best = val_loss
+            self.counter = 0
+            return False
+        self.counter += 1
+        return self.counter >= self.patience

@@ -1,0 +1,142 @@
+"""End-to-end trainer contracts: determinism, params-change, resume
+(reference tests/test_training.py pattern, golden values replaced by
+same-seed reproducibility plus regression structure)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from brever_tpu.models import ModelRegistry, count_params
+from brever_tpu.training import BreverTrainer
+
+from utils import DummyDataset
+
+
+def _flat_params(state, k=10):
+    leaves = jax.tree.leaves(state['params'])
+    flat = np.concatenate([np.asarray(x).ravel() for x in leaves])
+    return flat[:k]
+
+
+def make_trainer(tmp_path, model, **kwargs):
+    defaults = dict(
+        train_dataset=DummyDataset(n_items=8),
+        val_dataset=DummyDataset(n_items=4, seed=7),
+        model_dirpath=str(tmp_path),
+        epochs=2,
+        device='cpu',
+        batch_sampler='bucket',
+        batch_size=16.0,
+        dynamic_batch_size=True,
+        val_metrics=set(),
+        val_period=1,
+        seed=0,
+        workers=0,
+    )
+    defaults.update(kwargs)
+    return BreverTrainer(model=model, **defaults)
+
+
+def test_ffnn_param_count():
+    model = ModelRegistry.get('ffnn')()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    assert count_params(variables['params']) == 1509440
+
+
+def test_ffnn_training_is_deterministic(tmp_path):
+    results = []
+    for run in range(2):
+        model_dir = tmp_path / f'run{run}'
+        os.makedirs(model_dir)
+        model = ModelRegistry.get('ffnn')(hidden_layers=[64])
+        trainer = make_trainer(model_dir, model)
+        trainer.run()
+        results.append(_flat_params(trainer.state))
+    np.testing.assert_array_equal(results[0], results[1])
+
+
+def test_ffnn_params_change_and_loss_finite(tmp_path):
+    model = ModelRegistry.get('ffnn')(hidden_layers=[64])
+    trainer = make_trainer(tmp_path, model)
+    initial = _flat_params(trainer.init_state())
+    trainer.run()
+    final = _flat_params(trainer.state)
+    assert not np.array_equal(initial, final)
+    assert all(
+        np.isfinite(x) for x in trainer.loss_logger.train_loss
+        if isinstance(x, float)
+    )
+    # pre_train populated the static normalizer stats
+    std = np.asarray(trainer.state['aux']['stats']['std'])
+    assert not np.allclose(std, 1.0)
+
+
+def test_ffnn_resume(tmp_path):
+    model = ModelRegistry.get('ffnn')(hidden_layers=[64])
+    trainer = make_trainer(tmp_path, model, epochs=2)
+    trainer.run()
+    after_two = _flat_params(trainer.state)
+    assert os.path.exists(trainer.last_ckpt_path)
+
+    # resuming with more epochs continues training and changes params
+    model2 = ModelRegistry.get('ffnn')(hidden_layers=[64])
+    trainer2 = make_trainer(tmp_path, model2, epochs=3)
+    trainer2.run()
+    assert trainer2.epochs_ran == 3
+    after_three = _flat_params(trainer2.state)
+    assert not np.array_equal(after_two, after_three)
+
+
+def test_ffnn_already_trained_noop(tmp_path):
+    model = ModelRegistry.get('ffnn')(hidden_layers=[64])
+    trainer = make_trainer(tmp_path, model, epochs=2)
+    trainer.run()
+    params = _flat_params(trainer.state)
+    trainer2 = make_trainer(
+        tmp_path, ModelRegistry.get('ffnn')(hidden_layers=[64]), epochs=2)
+    trainer2.run()
+    np.testing.assert_array_equal(params, _flat_params(trainer2.state))
+
+
+def test_ffnn_ema(tmp_path):
+    model = ModelRegistry.get('ffnn')(hidden_layers=[64])
+    trainer = make_trainer(tmp_path, model, ema=True, ema_decay=0.9)
+    trainer.run()
+    ema = np.concatenate([
+        np.asarray(x).ravel() for x in jax.tree.leaves(trainer.state['ema'])
+    ])[:10]
+    params = _flat_params(trainer.state)
+    assert not np.array_equal(ema, params)
+    assert np.isfinite(ema).all()
+
+
+def test_ffnn_enhance_shapes():
+    model = ModelRegistry.get('ffnn')(hidden_layers=[64])
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).randn(2, 8000).astype('float32')
+    out = model.enhance(variables, x)
+    assert out.shape == (8000,)
+    xb = np.random.RandomState(0).randn(3, 2, 8000).astype('float32')
+    out = model.enhance(variables, xb)
+    assert out.shape == (3, 8000)
+
+
+def test_ffnn_val_metrics(tmp_path):
+    model = ModelRegistry.get('ffnn')(hidden_layers=[64])
+    trainer = make_trainer(
+        tmp_path, model, val_metrics={'snr', 'sisnr'}, epochs=1)
+    trainer.run()
+    metrics = trainer.loss_logger.metrics[0]
+    assert set(metrics) == {'snr', 'sisnr'}
+    assert all(np.isfinite(v) for v in metrics.values())
+
+
+@pytest.mark.parametrize('sampler', ['random', 'sorted', 'bucket'])
+def test_samplers_through_trainer(tmp_path, sampler):
+    model = ModelRegistry.get('ffnn')(hidden_layers=[32])
+    trainer = make_trainer(
+        tmp_path / sampler, model, batch_sampler=sampler, epochs=1)
+    trainer.run()
+    assert trainer.epochs_ran == 1
