@@ -1,0 +1,224 @@
+"""Conv-TasNet: learned time-domain encoder/decoder + dilated TCN masks.
+
+Luo & Mesgarani, IEEE/ACM TASLP 2019. Behavioral reference:
+brever/models/convtasnet/convtasnet.py:20-268 (default geometry gives
+4,935,217 trainable parameters, pinned by tests).
+
+TPU design notes: channels-last layout throughout — the 1x1 convs
+(bottleneck/residual/skip/output) are Dense matmuls on the MXU with
+C in {128, 512} aligning to lanes; the depthwise dilated convs are VPU
+work XLA fuses with the surrounding PReLU/norm. The whole forward is a
+static-shape jit: encoder framing pads to an integer stride count.
+"""
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .base import BreverBaseModel, ModelRegistry
+from .common import PReLU, make_norm
+
+
+class _ConvBlock(nn.Module):
+    """1x1 conv -> PReLU/norm -> dilated depthwise -> PReLU/norm ->
+    residual + skip projections."""
+
+    input_channels: int
+    hidden_channels: int
+    skip_channels: int
+    kernel_size: int
+    dilation: int
+    causal: bool
+    last: bool
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (batch, time, bottleneck)
+        h = nn.Dense(self.hidden_channels, name='conv_in')(x)
+        h = PReLU(name='prelu_1')(h)
+        h = make_norm(self.causal)(h)
+        padding = (self.kernel_size - 1) * self.dilation
+        if self.causal:
+            pad = (padding, 0)
+        else:
+            pad = (padding // 2, padding - padding // 2)
+        h = nn.Conv(
+            features=self.hidden_channels,
+            kernel_size=(self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.hidden_channels,
+            padding=(pad,),
+            name='depthwise',
+        )(h)
+        h = PReLU(name='prelu_2')(h)
+        h = make_norm(self.causal)(h)
+        residual = None if self.last \
+            else x + nn.Dense(self.input_channels, name='res')(h)
+        skip = nn.Dense(self.skip_channels, name='skip')(h)
+        return residual, skip
+
+
+class _TCN(nn.Module):
+    input_channels: int
+    bottleneck_channels: int
+    hidden_channels: int
+    skip_channels: int
+    kernel_size: int
+    layers: int
+    repeats: int
+    sources: int
+    causal: bool
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (batch, time, filters)
+        x = make_norm(self.causal)(x)
+        x = nn.Dense(self.bottleneck_channels, name='bottleneck')(x)
+        skip_sum = 0
+        for b in range(self.repeats):
+            for i in range(self.layers):
+                last = b == self.repeats - 1 and i == self.layers - 1
+                x, skip = _ConvBlock(
+                    input_channels=self.bottleneck_channels,
+                    hidden_channels=self.hidden_channels,
+                    skip_channels=self.skip_channels,
+                    kernel_size=self.kernel_size,
+                    dilation=2**i,
+                    causal=self.causal,
+                    last=last,
+                    name=f'block_{b}_{i}',
+                )(x)
+                skip_sum = skip_sum + skip
+        out = PReLU(name='prelu_out')(skip_sum)
+        out = nn.Dense(self.input_channels * self.sources, name='mask')(out)
+        out = nn.sigmoid(out)
+        batch, time, _ = out.shape
+        return out.reshape(batch, time, self.sources, self.input_channels)
+
+
+class _ConvTasNetModule(nn.Module):
+    filters: int
+    filter_length: int
+    bottleneck_channels: int
+    hidden_channels: int
+    skip_channels: int
+    kernel_size: int
+    layers: int
+    repeats: int
+    sources: int
+    causal: bool
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (batch, samples) mono waveform
+        length = x.shape[-1]
+        stride = self.filter_length // 2
+        pad = (self.filter_length - length) % stride
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        encoded = nn.Conv(
+            features=self.filters,
+            kernel_size=(self.filter_length,),
+            strides=(stride,),
+            padding='VALID',
+            use_bias=False,
+            name='encoder',
+        )(x[..., None])  # (batch, frames, filters)
+
+        masks = _TCN(
+            input_channels=self.filters,
+            bottleneck_channels=self.bottleneck_channels,
+            hidden_channels=self.hidden_channels,
+            skip_channels=self.skip_channels,
+            kernel_size=self.kernel_size,
+            layers=self.layers,
+            repeats=self.repeats,
+            sources=self.sources,
+            causal=self.causal,
+            name='tcn',
+        )(encoded)  # (batch, frames, sources, filters)
+
+        masked = encoded[:, :, None, :] * masks
+        batch, frames, sources, filters = masked.shape
+        masked = masked.transpose(0, 2, 1, 3).reshape(
+            batch * sources, frames, filters)
+        decoded = nn.ConvTranspose(
+            features=1,
+            kernel_size=(self.filter_length,),
+            strides=(stride,),
+            padding='VALID',
+            use_bias=False,
+            name='decoder',
+        )(masked)[..., 0]
+        decoded = decoded.reshape(batch, sources, -1)
+        return decoded[..., :length]
+
+
+@ModelRegistry.register('convtasnet')
+class ConvTasNet(BreverBaseModel):
+
+    def __init__(
+        self,
+        filters: int = 512,
+        filter_length: int = 32,
+        bottleneck_channels: int = 128,
+        hidden_channels: int = 512,
+        skip_channels: int = 128,
+        kernel_size: int = 3,
+        layers: int = 8,
+        repeats: int = 3,
+        output_sources: int = 1,
+        causal: bool = False,
+        criterion: str = 'snr',
+        optimizer: str = 'adam',
+        learning_rate: float = 0.001,
+        grad_clip: float = 5.0,
+    ):
+        super().__init__(criterion=criterion)
+        self.module = _ConvTasNetModule(
+            filters=filters,
+            filter_length=filter_length,
+            bottleneck_channels=bottleneck_channels,
+            hidden_channels=hidden_channels,
+            skip_channels=skip_channels,
+            kernel_size=kernel_size,
+            layers=layers,
+            repeats=repeats,
+            sources=output_sources,
+            causal=causal,
+        )
+        self.filter_length = filter_length
+        self.output_sources = output_sources
+        self.optimizer_name = optimizer
+        self.learning_rate = learning_rate
+        self.grad_clip = grad_clip
+
+    @property
+    def latency(self):
+        """Algorithmic latency in samples (one analysis window when
+        causal)."""
+        return self.filter_length
+
+    def init_variables(self, rng):
+        x = jnp.zeros((1, 512), jnp.float32)
+        return self.module.init(rng, x)
+
+    def optimizer(self):
+        import optax
+        return getattr(optax, self.optimizer_name)(self.learning_rate)
+
+    def transform(self, sources):
+        """Binaural -> monaural (mean over channels)."""
+        return sources.mean(axis=-2)
+
+    def loss(self, variables, batch, lengths, rng, train=True):
+        mono = self.transform(batch)      # (B, sources, samples)
+        inputs, labels = mono[:, 0], mono[:, 1:]
+        outputs = self.module.apply(
+            {'params': variables['params']}, inputs)
+        return self.criterion(outputs, labels, lengths)
+
+    def _enhance(self, variables, x):
+        mono = x.mean(axis=-2)            # (B, samples)
+        out = self.module.apply({'params': variables['params']}, mono)
+        if self.output_sources == 1:
+            out = out[:, 0]
+        return out

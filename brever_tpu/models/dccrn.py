@@ -1,0 +1,273 @@
+"""DCCRN: deep complex convolution recurrent network (Hu et al. 2020).
+
+Complex U-Net over the STFT (frame 512, hop 128): complex conv encoder,
+complex LSTM bottleneck, complex transposed-conv decoder with skip
+connections, polar mask with tanh-bounded magnitude. Behavioral
+reference: brever/models/dccrn/dccrn.py:28-358 (default geometry:
+3,671,053 trainable parameters, pinned).
+
+TPU design: channels-last (batch, freq, frames, 2*C) with the real
+parts in the first C channels; complex conv arithmetic is two real
+convs combined (MXU work); the complex LSTM uses the scan-based LSTM
+from models.rnn with the input projection hoisted out of the scan.
+torch-style double biases keep parameter-count parity.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import STFT
+from .base import BreverBaseModel, ModelRegistry
+from .common import PReLU
+from .rnn import LSTM
+
+
+def _split(x, axis=-1):
+    return jnp.split(x, 2, axis=axis)
+
+
+class _ComplexConv(nn.Module):
+    """Complex conv: (a+ib)(W_r+iW_i) via two real convs."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: tuple
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        conv_cls = nn.ConvTranspose if self.transpose else nn.Conv
+        kwargs = dict(
+            features=self.features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+        )
+        conv_r = conv_cls(**kwargs, name='real')
+        conv_i = conv_cls(**kwargs, name='imag')
+        xr, xi = _split(x)
+        out_r = conv_r(xr) - conv_i(xi)
+        out_i = conv_r(xi) + conv_i(xr)
+        return jnp.concatenate([out_r, out_i], axis=-1)
+
+
+class _ComplexLSTMLayer(nn.Module):
+    """Single complex LSTM layer: four real LSTM passes combined."""
+
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, real, imag):
+        lstm_r = LSTM(self.hidden_size, name='real')
+        lstm_i = LSTM(self.hidden_size, name='imag')
+        rr = lstm_r(real)
+        ii = lstm_i(imag)
+        ri = lstm_r(imag)
+        ir = lstm_i(real)
+        return rr - ii, ri + ir
+
+
+class _DCCRNModule(nn.Module):
+    n_freqs: int          # frame_length // 2 (DC removed)
+    channels: tuple
+    kernel_size: tuple
+    stride: tuple
+    padding: tuple
+    output_padding: tuple
+    lstm_channels: int
+    lstm_layers: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        # x: (batch, freq, frames, 2) — real|imag stacked on channels
+        kf, kt = self.kernel_size
+        sf, st = self.stride
+        pf, pt = self.padding
+        opf, opt_ = self.output_padding
+
+        enc_pad = ((pf, pf), (pt, pt))
+        # transposed conv padding for lax.conv_transpose semantics:
+        # lo = k-1-p, hi = k-1-p+output_padding per spatial dim
+        dec_pad = (
+            (kf - 1 - pf, kf - 1 - pf + opf),
+            (kt - 1 - pt, kt - 1 - pt + opt_),
+        )
+
+        skips = []
+        h = x
+        for i, ch in enumerate(self.channels):
+            h = _ComplexConv(
+                features=ch, kernel_size=(kf, kt), strides=(sf, st),
+                padding=enc_pad, name=f'enc_conv_{i}',
+            )(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f'enc_norm_{i}',
+            )(h)
+            h = PReLU(name=f'enc_prelu_{i}')(h)
+            skips.append(h)
+
+        # complex LSTM bottleneck over (batch, frames, channels*freqs)
+        batch, freqs, frames, ch2 = h.shape
+        ch = ch2 // 2
+        hr, hi = _split(h)
+        # (B, F, T, C) -> (B, T, C*F): channel-major then freq, matching
+        # the reference's (channels, freqs) flatten order
+        def to_seq(v):
+            return v.transpose(0, 2, 3, 1).reshape(batch, frames, ch * freqs)
+
+        seq_r, seq_i = to_seq(hr), to_seq(hi)
+        for i in range(self.lstm_layers):
+            seq_r, seq_i = _ComplexLSTMLayer(
+                self.lstm_channels, name=f'lstm_{i}')(seq_r, seq_i)
+        seq_r = nn.Dense(ch * freqs, name='lstm_proj_real')(seq_r)
+        seq_i = nn.Dense(ch * freqs, name='lstm_proj_imag')(seq_i)
+
+        def from_seq(v):
+            return v.reshape(batch, frames, ch, freqs).transpose(0, 3, 1, 2)
+
+        h = jnp.concatenate([from_seq(seq_r), from_seq(seq_i)], axis=-1)
+
+        for j, i in enumerate(reversed(range(len(self.channels)))):
+            skip = skips[i]
+            hr, hi = _split(h)
+            sr, si = _split(skip)
+            h = jnp.concatenate([hr, sr, hi, si], axis=-1)
+            out_ch = 1 if i == 0 else self.channels[i - 1]
+            h = _ComplexConv(
+                features=out_ch, kernel_size=(kf, kt), strides=(sf, st),
+                padding=dec_pad, transpose=True, name=f'dec_conv_{j}',
+            )(h)
+            if i != 0:
+                h = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9,
+                    epsilon=1e-5, name=f'dec_norm_{j}',
+                )(h)
+                h = PReLU(name=f'dec_prelu_{j}')(h)
+        return h  # (batch, freq, frames, 2) complex mask as real|imag
+
+
+@ModelRegistry.register('dccrn')
+class DCCRN(BreverBaseModel):
+
+    def __init__(
+        self,
+        stft_frame_length: int = 512,
+        stft_hop_length: int = 128,
+        stft_window: str = 'hann',
+        channels: list[int] = [16, 32, 64, 128, 128, 128],
+        kernel_size: tuple[int, int] = (5, 2),
+        stride: tuple[int, int] = (2, 1),
+        padding: tuple[int, int] = (2, 0),
+        output_padding: tuple[int, int] = (1, 0),
+        lstm_channels: int = 128,
+        lstm_layers: int = 2,
+        use_complex_batchnorm: bool = False,
+        criterion: str = 'snr',
+        optimizer: str = 'adam',
+        learning_rate: float = 0.0001,
+    ):
+        super().__init__(criterion=criterion)
+        # note: the reference's optional "true complex batchnorm"
+        # (covariance whitening) is approximated by the standard
+        # BatchNorm over stacked real/imag channels in both settings
+        del use_complex_batchnorm
+        self.stft = STFT(
+            frame_length=stft_frame_length,
+            hop_length=stft_hop_length,
+            window=stft_window,
+        )
+        self.channels = list(channels)
+        self.kernel_size = tuple(kernel_size)
+        self.stride = tuple(stride)
+        self.module = _DCCRNModule(
+            n_freqs=stft_frame_length // 2,
+            channels=tuple(channels),
+            kernel_size=tuple(kernel_size),
+            stride=tuple(stride),
+            padding=tuple(padding),
+            output_padding=tuple(output_padding),
+            lstm_channels=lstm_channels,
+            lstm_layers=lstm_layers,
+        )
+        self.optimizer_name = optimizer
+        self.learning_rate = learning_rate
+        self.grad_clip = 5.0
+
+    @property
+    def latency(self):
+        """Analytic latency: STFT frame plus the decoder time lookahead
+        accumulated across strided layers (reference dccrn.py:136-142)."""
+        _, kt = self.kernel_size
+        _, st = self.stride
+        layers = len(self.channels)
+        enc_dec = (kt - 1) * sum(st**i for i in range(layers))
+        return self.stft.frame_length + enc_dec * self.stft.hop_length
+
+    def init_variables(self, rng):
+        x = jnp.zeros((1, 4096), jnp.float32)
+        spec = self._to_input(x)
+        return self.module.init(rng, spec, train=False)
+
+    def optimizer(self):
+        import optax
+        return getattr(optax, self.optimizer_name)(self.learning_rate)
+
+    def transform(self, sources):
+        return sources.mean(axis=-2)  # binaural -> monaural
+
+    # ------------------------------------------------------------------
+
+    def _to_input(self, x):
+        """Waveform -> (batch, freq-1, frames, 2) real/imag, DC removed."""
+        spec = self.stft(x)[..., 1:, :]
+        return jnp.stack([spec.real, spec.imag], axis=-1)
+
+    def _forward(self, variables, x, train, rng=None):
+        length = x.shape[-1]
+        spec = self._to_input(x)  # (B, F, T, 2)
+        if train:
+            mask, updates = self.module.apply(
+                variables, spec, train=True, mutable=['batch_stats'])
+        else:
+            mask = self.module.apply(variables, spec, train=False)
+            updates = None
+        out_spec = self._apply_mask(spec, mask)
+        # re-pad the DC bin, back to complex (B, bins, T)
+        out = jax.lax.complex(out_spec[..., 0], out_spec[..., 1])
+        out = jnp.pad(out, ((0, 0), (1, 0), (0, 0)))
+        wav = self.stft.backward(out)[..., :length]
+        return wav, updates
+
+    @staticmethod
+    def _apply_mask(spec, mask):
+        """Polar mask: tanh-bounded magnitude, additive phase."""
+        in_mag = jnp.sqrt(spec[..., 0]**2 + spec[..., 1]**2)
+        in_phase = jnp.arctan2(spec[..., 1], spec[..., 0])
+        mask_mag = jnp.tanh(
+            jnp.sqrt(mask[..., 0]**2 + mask[..., 1]**2 + 1e-7))
+        mask_real = mask[..., 0] + (mask[..., 0] == 0) * 1e-7
+        mask_phase = jnp.arctan2(mask[..., 1], mask_real)
+        out_mag = in_mag * mask_mag
+        out_phase = in_phase + mask_phase
+        return jnp.stack(
+            [out_mag * jnp.cos(out_phase), out_mag * jnp.sin(out_phase)],
+            axis=-1)
+
+    def loss(self, variables, batch, lengths, rng, train=True):
+        mono = self.transform(batch)
+        inputs, labels = mono[:, 0], mono[:, 1]
+        outputs, updates = self._forward(variables, inputs, train, rng)
+        per_item = self.criterion(
+            outputs[:, None], labels[:, None], lengths)
+        if train:
+            new_aux = {'batch_stats': updates['batch_stats']}
+            return per_item, new_aux
+        return per_item
+
+    def _enhance(self, variables, x):
+        mono = x.mean(axis=-2)
+        out, _ = self._forward(variables, mono, train=False)
+        return out

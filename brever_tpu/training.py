@@ -203,21 +203,26 @@ class BreverTrainer:
                 batch = jax.tree.map(
                     lambda x: x.astype(compute_dtype)
                     if jnp.issubdtype(x.dtype, jnp.floating) else x, batch)
-            per_item = model.loss(variables, batch, lengths, rng,
-                                  train=train)
+            out = model.loss(variables, batch, lengths, rng, train=train)
+            # models with mutable collections (batch stats) return
+            # (per_item, updated_aux)
+            if isinstance(out, tuple):
+                per_item, new_aux = out
+            else:
+                per_item, new_aux = out, aux
             if isinstance(per_item, dict):
                 scalars = {
                     k: sample_weighted_mean(v, lengths)
                     for k, v in per_item.items()
                 }
                 total = sum(scalars.values())
-                return total, scalars
+                return total, (scalars, new_aux)
             scalar = sample_weighted_mean(per_item, lengths)
-            return scalar, scalar
+            return scalar, (scalar, new_aux)
 
         def train_step(state, batch, lengths, _):
             rng, step_rng = jax.random.split(state['rng'])
-            grads, loss = jax.grad(
+            grads, (loss, new_aux) = jax.grad(
                 lambda p: loss_fn(p, state['aux'], batch, lengths,
                                   step_rng, True),
                 has_aux=True,
@@ -228,6 +233,7 @@ class BreverTrainer:
             new_state = {
                 **state,
                 'params': params,
+                'aux': new_aux,
                 'opt_state': opt_state,
                 'step': state['step'] + 1,
                 'rng': rng,
@@ -240,8 +246,8 @@ class BreverTrainer:
 
         def val_step(state, batch, lengths, _):
             params = state['ema'] if use_ema else state['params']
-            _, loss = loss_fn(params, state['aux'], batch, lengths,
-                              state['rng'], False)
+            _, (loss, _) = loss_fn(params, state['aux'], batch, lengths,
+                                   state['rng'], False)
             return state, loss
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))

