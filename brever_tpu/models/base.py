@@ -96,6 +96,23 @@ class BreverBaseModel:
             tx = optax.chain(optax.clip_by_global_norm(self.grad_clip), tx)
         return tx
 
+    def prepare_optimizer(self, steps_per_epoch, epochs):
+        """Called by the trainer before building the optax chain; lets
+        models with per-step schedules (OneCycle) size them."""
+        pass
+
+    def init_opt_state(self, tx, params):
+        """Initialize optimizer state; multi-optimizer models (GANs)
+        override this together with ``make_step_fns``."""
+        return tx.init(params)
+
+    def make_step_fns(self, tx):
+        """Optional override returning custom
+        ``(train_step, val_step)`` pure functions with signature
+        ``(state, batch, lengths, _) -> (state, loss)``; return None to
+        use the trainer's default single-optimizer steps."""
+        return None
+
     # ------------------------------------------------------------------
     # pure functions traced into the train step
 
@@ -142,9 +159,19 @@ class BreverBaseModel:
         return variables
 
     def on_validate(self, val_loss):
-        """Called after each validation loop; may return an optax
-        hyperparameter update (see trainer)."""
+        """Called after each validation loop; may return a dict of
+        optax hyperparameter updates, e.g. ``{'learning_rate': 5e-4}``
+        (applied in place through ``optax.inject_hyperparams`` state,
+        so optimizer moments are preserved)."""
         return None
+
+    def extra_state(self):
+        """Host-side model state to persist in checkpoints (e.g. LR
+        scheduler state). Must be msgpack-serializable."""
+        return {}
+
+    def load_extra_state(self, state):
+        pass
 
     # ------------------------------------------------------------------
     # helpers

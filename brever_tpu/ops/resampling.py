@@ -16,55 +16,82 @@ import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
-_DN = ('NCHW', 'OIHW', 'NCHW')
-
-
 def _fir_kernel_2d(fir_kernel):
     k = np.asarray(fir_kernel, dtype=np.float32)
     k2 = np.outer(k, k)
     return k2 / k2.sum()
 
 
-def _depthwise(kernel2d, n_channels, dtype):
-    k = jnp.asarray(kernel2d, dtype=dtype)
-    return jnp.tile(k[None, None], (n_channels, 1, 1, 1))
+def _layout(data_format):
+    if data_format == 'NCHW':
+        return ('NCHW', 'HWIO', 'NCHW'), 1, (-2, -1)
+    if data_format == 'NHWC':
+        return ('NHWC', 'HWIO', 'NHWC'), 3, (1, 2)
+    raise ValueError(f'unsupported data_format: {data_format}')
 
 
-def downsample_2d(x, fir_kernel, return_padding=False):
-    """Depthwise FIR low-pass + 2x decimation on the last two axes.
+def _fold_channels(x, c_axis):
+    """(N, ..., C, ...) -> (N*C, H, W, 1): grouped convs lower terribly
+    on XLA-CPU, so depthwise = same-kernel-per-channel is done by
+    folding channels into the batch axis (identical math, plain conv)."""
+    if c_axis == 1:  # NCHW
+        n, c, h, w = x.shape
+        folded = x.reshape(n * c, h, w, 1)
+    else:  # NHWC
+        n, h, w, c = x.shape
+        folded = jnp.moveaxis(x, -1, 1).reshape(n * c, h, w, 1)
+    return folded, (x.shape, c_axis)
 
-    ``x`` has shape ``(batch, channels, h, w)``.
-    """
+
+def _unfold_channels(y, spec):
+    shape, c_axis = spec
+    if c_axis == 1:
+        n, c = shape[0], shape[1]
+        out = y.reshape(n, c, y.shape[1], y.shape[2])
+        return out
+    n, c = shape[0], shape[3]
+    out = y.reshape(n, c, y.shape[1], y.shape[2])
+    return jnp.moveaxis(out, 1, -1)
+
+
+def downsample_2d(x, fir_kernel, return_padding=False,
+                  data_format='NCHW'):
+    """Depthwise FIR low-pass + 2x decimation over the spatial axes."""
+    dn, c_axis, spatial = _layout(data_format)
     kernel2d = _fir_kernel_2d(fir_kernel)
     ksize = kernel2d.shape[-1]
+    dims = (x.shape[spatial[0]], x.shape[spatial[1]])
     padding = tuple(
         math.ceil(ksize / 2) - 1 if dim % 2 == 0
         else math.ceil((ksize + 1) / 2) - 1
-        for dim in x.shape[-2:]
+        for dim in dims
     )
+    folded, spec = _fold_channels(x, c_axis)
+    kernel = jnp.asarray(kernel2d, x.dtype)[:, :, None, None]
     out = lax.conv_general_dilated(
-        x,
-        _depthwise(kernel2d, x.shape[1], x.dtype),
+        folded,
+        kernel,
         window_strides=(2, 2),
         padding=[(p, p) for p in padding],
-        dimension_numbers=_DN,
-        feature_group_count=x.shape[1],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
     )
+    out = _unfold_channels(out, spec)
     if return_padding:
         output_padding = tuple(
             0 if (dim + 2 * p - ksize) % 2 == 0 else 1
-            for dim, p in zip(x.shape[-2:], padding)
+            for dim, p in zip(dims, padding)
         )
         return out, (padding, output_padding)
     return out
 
 
-def upsample_2d(x, fir_kernel, padding=None):
+def upsample_2d(x, fir_kernel, padding=None, data_format='NCHW'):
     """2x zero-stuffed upsampling + depthwise FIR interpolation.
 
     ``padding`` is an optional ``(padding, output_padding)`` pair produced
     by ``downsample_2d(..., return_padding=True)`` to restore odd shapes.
     """
+    dn, c_axis, _ = _layout(data_format)
     kernel2d = _fir_kernel_2d(fir_kernel) * 4
     ksize = kernel2d.shape[-1]
     if padding is None:
@@ -82,15 +109,17 @@ def upsample_2d(x, fir_kernel, padding=None):
     conv_padding = [
         (ksize - 1 - p, ksize - 1 - p + op) for p, op in zip(pad, out_pad)
     ]
-    return lax.conv_general_dilated(
-        x,
-        _depthwise(kernel2d, x.shape[1], x.dtype),
+    folded, spec = _fold_channels(x, c_axis)
+    kernel = jnp.asarray(kernel2d, x.dtype)[:, :, None, None]
+    out = lax.conv_general_dilated(
+        folded,
+        kernel,
         window_strides=(1, 1),
         padding=conv_padding,
         lhs_dilation=(2, 2),
-        dimension_numbers=_DN,
-        feature_group_count=x.shape[1],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
     )
+    return _unfold_channels(out, spec)
 
 
 class Resampler:
@@ -98,20 +127,35 @@ class Resampler:
 
     The diffusion U-Net pushes a padding record at every encoder
     downsample and pops it at the matching decoder upsample so odd
-    feature-map shapes round-trip exactly.
+    feature-map shapes round-trip exactly. The stack is trace-time
+    Python state (shapes are static under jit).
     """
 
-    def __init__(self, fir_kernel, buffer_padding=False):
+    def __init__(self, fir_kernel, buffer_padding=False,
+                 data_format='NCHW'):
         self.fir_kernel = tuple(fir_kernel)
+        self.data_format = data_format
         self._paddings = [] if buffer_padding else None
 
     def down(self, x):
         if self._paddings is None:
-            return downsample_2d(x, self.fir_kernel)
-        out, padding = downsample_2d(x, self.fir_kernel, return_padding=True)
+            return downsample_2d(x, self.fir_kernel,
+                                 data_format=self.data_format)
+        out, padding = downsample_2d(
+            x, self.fir_kernel, return_padding=True,
+            data_format=self.data_format)
         self._paddings.append(padding)
         return out
 
     def up(self, x):
         padding = self._paddings.pop() if self._paddings else None
-        return upsample_2d(x, self.fir_kernel, padding)
+        return upsample_2d(x, self.fir_kernel, padding,
+                           data_format=self.data_format)
+
+    def __call__(self, x, up_or_down):
+        if up_or_down == 'down':
+            return self.down(x)
+        if up_or_down == 'up':
+            return self.up(x)
+        raise ValueError(
+            f'up_or_down must be up or down, got {up_or_down}')

@@ -152,9 +152,14 @@ class BreverTrainer:
             pad_to_multiple=pad_to_multiple,
         )
 
-        # optimizer chain from the model (+ global-norm clip if set)
+        # optimizer chain from the model (+ global-norm clip if set);
+        # models with per-step schedules need the step budget first
+        model.prepare_optimizer(
+            len(self.train_batch_sampler), epochs)
         tx = model.optimizer()
-        if model.grad_clip:
+        # multi-optimizer models (GANs) return a dict and handle their
+        # own clipping; single-optimizer chains get the clip added here
+        if model.grad_clip and not isinstance(tx, dict):
             tx = optax.chain(
                 optax.clip_by_global_norm(model.grad_clip), tx)
         self.tx = tx
@@ -179,10 +184,11 @@ class BreverTrainer:
         init_rng, step_rng = jax.random.split(rng)
         variables = self.model.init_variables(init_rng)
         params = variables.pop('params')
+        opt_state = self.model.init_opt_state(self.tx, params)
         state = {
             'params': params,
             'aux': variables,  # stats/batch_stats/other collections
-            'opt_state': self.tx.init(params),
+            'opt_state': opt_state,
             'step': jnp.zeros((), jnp.int32),
             'rng': step_rng,
         }
@@ -192,6 +198,18 @@ class BreverTrainer:
 
     def build_steps(self):
         model = self.model
+        custom = model.make_step_fns(self.tx)
+        if custom is not None:
+            train_step, val_step = custom
+            if getattr(model, 'host_side_steps', False):
+                # the model orchestrates its own jitted phases (e.g.
+                # metric-in-the-loop GANs scoring on host between them)
+                self._train_step = train_step
+                self._val_step = val_step
+            else:
+                self._train_step = jax.jit(train_step, donate_argnums=(0,))
+                self._val_step = jax.jit(val_step)
+            return
         tx = self.tx
         ema_decay = self.ema_decay
         use_ema = self.use_ema
@@ -460,11 +478,25 @@ class BreverTrainer:
         return sharded
 
     def _apply_hyper_update(self, update):
-        """Apply a model-driven hyperparameter change (e.g. LR drop)
-        by re-initializing the optax chain state hyperparams."""
-        if callable(update):
-            self.tx = update(self.tx)
-            self.build_steps()
+        """Apply a model-driven hyperparameter change (e.g. LR drop) by
+        mutating the ``optax.inject_hyperparams`` state in place —
+        optimizer moments are untouched."""
+        if not isinstance(update, dict):
+            return
+
+        def visit(node):
+            hyper = getattr(node, 'hyperparams', None)
+            if isinstance(hyper, dict):
+                for key, value in update.items():
+                    if key in hyper:
+                        hyper[key] = jnp.asarray(
+                            value, dtype=jnp.asarray(hyper[key]).dtype)
+            if isinstance(node, (tuple, list)):
+                for child in node:
+                    visit(child)
+
+        visit(self.state['opt_state'])
+        logging.info(f'Applied hyperparameter update: {update}')
 
     def _update_memory_stats(self):
         try:
@@ -491,6 +523,10 @@ class BreverTrainer:
             'timer': self.timer.state_dict(),
             'best': self.checkpoint_saver.state_dict(),
         }
+        extra = self.model.extra_state()
+        if extra:
+            import json
+            state['model_extra'] = json.dumps(extra)
         if self.use_ema:
             state['ema'] = self.state['ema']
         save_checkpoint(path, state)
@@ -510,6 +546,9 @@ class BreverTrainer:
             restored['ema'] = _restore_like(
                 self.state.get('ema'), state['ema'])
         self.state = restored
+        if 'model_extra' in state:
+            import json
+            self.model.load_extra_state(json.loads(state['model_extra']))
         self.loss_logger.load_state_dict(state['losses'])
         self.timer.load_state_dict(state['timer'])
         self.checkpoint_saver.load_state_dict(state['best'])

@@ -241,3 +241,93 @@ def test_dynamic_mixing(project):
         assert lengths_epoch0 != lengths_epoch1
     finally:
         os.chdir(cwd)
+
+
+def test_scripted_eval_slice(project):
+    """test_model + validate_model CLIs on the trained model from
+    test_scripted_training_slice (scores.hdf5 contract)."""
+    import h5py
+    root, dataset_dir = project
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        # find the trained model from the training-slice test
+        models_dir = root / 'models'
+        if not models_dir.exists():
+            pytest.skip('training slice test has not run')
+        model_dirs = [
+            d for d in models_dir.iterdir()
+            if (d / 'losses.npz').exists()
+        ]
+        if not model_dirs:
+            pytest.skip('no trained model available')
+        model_dir = str(model_dirs[0])
+        rel_dataset = os.path.relpath(dataset_dir, root)
+
+        test_model = _load_script('test_model')
+        argv = sys.argv
+        sys.argv = ['test_model.py', '-i', model_dir, '-t', rel_dataset,
+                    '--metrics', 'snr', 'sisnr', '--batch_size', '8']
+        try:
+            test_model.main()
+        finally:
+            sys.argv = argv
+
+        score_file = os.path.join(model_dir, 'scores.hdf5')
+        assert os.path.exists(score_file)
+        with h5py.File(score_file) as h5f:
+            assert list(h5f['metrics'].asstr()) == ['snr', 'sisnr']
+            test_name = os.path.basename(os.path.normpath(rel_dataset))
+            scores = h5f[f'last.ckpt/{test_name}'][:]
+            assert scores.shape[1:] == (2, 2)
+            assert np.isfinite(scores).all()
+            assert h5f[f'last.ckpt/{test_name}'].dims[0].label == 'mixture'
+
+        # validate_model writes val.npz
+        validate_model = _load_script('validate_model')
+        import argparse
+        args = argparse.Namespace(
+            inputs=[model_dir], force=False, no_train_check=False,
+            batch_size=8.0, workers=0)
+        validate_model.run(args)
+        assert os.path.exists(os.path.join(model_dir, 'val.npz'))
+        data = np.load(os.path.join(model_dir, 'val.npz'),
+                       allow_pickle=True)
+        assert 'last.ckpt' in data
+        assert np.isfinite(float(data['last.ckpt']))
+    finally:
+        os.chdir(cwd)
+
+
+def test_find_scripts(project):
+    root, dataset_dir = project
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        from brever_tpu.config import DatasetFinder, ModelFinder
+        dsets, configs = DatasetFinder().find(kind='train')
+        assert any(os.path.normpath(d) == os.path.normpath(
+            os.path.relpath(dataset_dir, root)) for d in dsets)
+        models, _ = ModelFinder().find(arch='ffnn')
+        # the training-slice test may or may not have run yet
+        assert isinstance(models, list)
+    finally:
+        os.chdir(cwd)
+
+
+def test_check_sanity_script(project):
+    root, dataset_dir = project
+    cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        check_sanity = _load_script('check_sanity')
+        argv = sys.argv
+        sys.argv = ['check_sanity.py']
+        try:
+            check_sanity.main()
+        except SystemExit as e:
+            assert e.code == 0
+        finally:
+            sys.argv = argv
+    finally:
+        os.chdir(cwd)

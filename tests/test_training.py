@@ -148,6 +148,7 @@ def test_convtasnet_param_count():
     assert count_params(variables['params']) == 4935217
 
 
+@pytest.mark.slow
 def test_convtasnet_trains(tmp_path):
     model = ModelRegistry.get('convtasnet')(
         filters=64, filter_length=16, bottleneck_channels=32,
@@ -187,6 +188,7 @@ def test_dccrn_param_count():
     assert count_params(variables['params']) == 3671053
 
 
+@pytest.mark.slow
 def test_dccrn_trains(tmp_path):
     model = ModelRegistry.get('dccrn')(
         channels=[4, 8], lstm_channels=16, lstm_layers=1)
@@ -203,3 +205,159 @@ def test_dccrn_trains(tmp_path):
     losses = [x for x in trainer.loss_logger.train_loss
               if isinstance(x, float)]
     assert all(np.isfinite(x) for x in losses)
+
+
+def test_tfgridnet_param_count():
+    model = ModelRegistry.get('tfgridnet')()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    assert count_params(variables['params']) == 3735344
+
+
+@pytest.mark.slow
+def test_tfgridnet_trains_with_scheduler(tmp_path):
+    model = ModelRegistry.get('tfgridnet')(
+        n_layers=1, lstm_hidden_units=16, emb_dim=8, attn_n_head=2,
+        attn_approx_qk_dim=32)
+    trainer = make_trainer(tmp_path, model, epochs=2)
+    trainer.run()
+    losses = trainer.loss_logger.train_loss
+    assert all(np.isfinite(x) for x in losses if isinstance(x, float))
+    # scheduler state is persisted in the checkpoint
+    from brever_tpu.checkpoint import load_checkpoint
+    ckpt = load_checkpoint(trainer.last_ckpt_path)
+    assert 'model_extra' in ckpt
+
+
+def test_tfgridnet_lr_plateau_update():
+    from brever_tpu.models.schedulers import ReduceLROnPlateau
+    sched = ReduceLROnPlateau(init_lr=1.0, factor=0.5, patience=2)
+    assert sched.step(1.0) is None  # first -> best
+    assert sched.step(1.1) is None  # bad 1
+    assert sched.step(1.2) is None  # bad 2
+    assert sched.step(1.3) == 0.5   # bad 3 -> drop
+    assert sched.step(0.5) is None  # improvement resets
+
+
+def test_sgmsep_param_count():
+    model = ModelRegistry.get('sgmsep')()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    assert count_params(variables['params']) == 65590694
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize('arch', ['sgmsepm', 'sgmsepmheun'])
+def test_sgmse_small_trains(tmp_path, arch):
+    model = ModelRegistry.get(arch)(
+        net_base_channels=16, net_channel_mult=[1, 2],
+        net_num_blocks_per_res=1, solver_num_steps=2,
+        net_attn_bottleneck=False, stft_frame_length=128,
+        stft_hop_length=64)
+    trainer = make_trainer(
+        tmp_path / arch, model, epochs=1, ema=True,
+        train_dataset=DummyDataset(n_items=4, min_length=0.5, max_length=1.0),
+        val_dataset=DummyDataset(n_items=2, min_length=0.5, max_length=1.0,
+                                 seed=7))
+    trainer.run()
+    losses = trainer.loss_logger.train_loss
+    assert all(np.isfinite(x) for x in losses if isinstance(x, float))
+
+
+def test_sgmse_enhance_solvers():
+    import jax.numpy as jnp
+    for arch in ('sgmsepm', 'sgmsepmheun'):
+        model = ModelRegistry.get(arch)(
+            net_base_channels=16, net_channel_mult=[1, 2],
+            net_num_blocks_per_res=1, solver_num_steps=2,
+            net_attn_bottleneck=False)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        x = np.random.RandomState(0).randn(1, 2, 4000).astype('float32')
+        out = model.enhance(variables, jnp.asarray(x))
+        assert out.shape == (1, 4000)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sde_registry_contracts():
+    import jax.numpy as jnp
+    from brever_tpu.models.sgmse.sdes import SDERegistry
+    kwargs = dict(stiffness=1.5, sigma_min=0.05, sigma_max=0.5,
+                  beta_min=0.01, beta_max=1.0, lambda_min=-12.0,
+                  lambda_max=float('inf'), shift=3.0, beta_clamp=10.0,
+                  scaling=0.1, k=10.0)
+    t = jnp.asarray([0.1, 0.5, 0.9])
+    for name in SDERegistry.keys():
+        sde = SDERegistry.get(name)(**kwargs)
+        sigma = np.asarray(sde.sigma(t))
+        assert np.isfinite(sigma).all(), name
+        assert (np.diff(sigma) > 0).all(), f'{name}: sigma not increasing'
+        assert np.isfinite(np.asarray(sde.g(t))).all(), name
+        assert np.isfinite(np.asarray(sde.s(t))).all(), name
+        # sigma_inv round trip where implemented
+        try:
+            t_rec = np.asarray(sde.sigma_inv(sde.sigma(t)))
+            np.testing.assert_allclose(t_rec, np.asarray(t), rtol=1e-3,
+                                       atol=1e-4)
+        except NotImplementedError:
+            pass
+
+
+def test_expi_matches_scipy():
+    from scipy.special import expi as scipy_expi
+    from brever_tpu.models.sgmse.sdes import expi
+    x = np.linspace(-8, -0.05, 50)
+    got = np.asarray(expi(x))
+    want = scipy_expi(x)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_metricgan_param_count():
+    model = ModelRegistry.get('metricganokd')(
+        target_metrics=['stoi'], inference_metric='stoi')
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    assert count_params(variables['params']) == 2172329
+
+
+@pytest.mark.slow
+def test_metricgan_trains(tmp_path):
+    model = ModelRegistry.get('metricganokd')(
+        target_metrics=['stoi', 'estoi'], inference_metric='stoi',
+        generator_lstm_hidden_size=16, generator_fc_channels=[16],
+        discriminator_conv_channels=[4, 8],
+        discriminator_fc_channels=[8])
+    trainer = make_trainer(
+        tmp_path, model, epochs=1,
+        train_dataset=DummyDataset(n_items=4, min_length=0.5,
+                                   max_length=1.0),
+        val_dataset=DummyDataset(n_items=2, min_length=0.5,
+                                 max_length=1.0, seed=7))
+    trainer.run()
+    losses = trainer.loss_logger.train_loss
+    assert isinstance(losses[0], dict)
+    assert set(losses[0]) == {'loss_g', 'loss_d'}
+    assert all(np.isfinite(v) for v in losses[0].values())
+
+
+def test_metricgan_enhance():
+    model = ModelRegistry.get('metricganp')(
+        target_metrics=['stoi'], inference_metric='stoi',
+        generator_lstm_hidden_size=16, generator_fc_channels=[16],
+        discriminator_conv_channels=[4, 8], discriminator_fc_channels=[8])
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).randn(2, 2, 8000).astype('float32')
+    out = model.enhance(variables, jax.numpy.asarray(x))
+    assert out.shape == (2, 8000)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_manner_param_count():
+    model = ModelRegistry.get('manner')()
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    assert count_params(variables['params']) == 21253921
+
+
+def test_model_registry_complete():
+    """Registry parity with the reference model zoo."""
+    assert set(ModelRegistry.keys()) >= {
+        'ffnn', 'convtasnet', 'dccrn', 'sgmsep', 'sgmsepm', 'sgmsepheun',
+        'sgmsepmheun', 'idmse', 'manner', 'metricganokd', 'metricganp',
+        'tfgridnet',
+    }
