@@ -1,0 +1,283 @@
+"""Batched on-device mixture synthesis (jit/vmap over the scene batch).
+
+The reference synthesizes mixtures one at a time on the CPU with
+``scipy.signal.oaconvolve`` (brever/mixture/mixture.py:25-47) — the
+dataset-creation hot loop. Here the same scene algebra runs as a single
+jitted program over a *batch* of scenes: FFT-based binaural
+convolution, BRIR early/late splitting, synthetic decay tails, colored
+noise via ``jax.random``, and the SNR/TMR/RMS gain stages — all static
+shapes, vmapped over the batch.
+
+Division of labor: the host rolls metadata (bit-compatible numpy
+randomizers) and gathers raw material into padded arrays (speech,
+BRIRs, noise segments + their lengths); the device turns them into
+mixtures. This is the input pipeline used for on-device dynamic mixing
+and large dataset synthesis.
+
+Numerical parity with the numpy path is pinned by tests (same inputs ->
+same mixture within float32 tolerance).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import eps
+
+
+def fft_convolve(x, kernel, out_length):
+    """Linear convolution via rFFT, truncated to ``out_length``.
+
+    ``x``: (..., n); ``kernel``: (..., m); broadcasts leading dims.
+    """
+    n = x.shape[-1] + kernel.shape[-1] - 1
+    nfft = 1 << (n - 1).bit_length()  # next power of two
+    spec = jnp.fft.rfft(x, nfft) * jnp.fft.rfft(kernel, nfft)
+    return jnp.fft.irfft(spec, nfft)[..., :out_length]
+
+
+def spatialize(x, brir, out_length=None):
+    """Binaural convolution: (n,) x (m, 2) -> (out, 2)."""
+    out_length = x.shape[-1] if out_length is None else out_length
+    out = fft_convolve(x[..., None, :], jnp.moveaxis(brir, -1, -2),
+                       out_length)
+    return jnp.moveaxis(out, -2, -1)
+
+
+def split_brir(brir, brir_length, reflection_boundary=50e-3, fs=16e3,
+               max_itd=1e-3):
+    """Early/late split with ITD-consistent peaks (traced version of
+    mixture.dsp.split_brir; ``brir_length`` masks zero padding)."""
+    n = brir.shape[0]
+    idx = jnp.arange(n)
+    valid = (idx < brir_length)[:, None]
+    mag = jnp.abs(brir) * valid
+    peak_idx = jnp.argmax(mag, axis=0)
+    peak_val = jnp.max(mag, axis=0)
+    max_delay = round(max_itd * fs)
+
+    strong = jnp.where(peak_val[0] > peak_val[1], 0, 1)
+    weak = 1 - strong
+    anchor = peak_idx[strong]
+    # re-estimate the weak ear's peak within max_itd of the anchor
+    window = (idx >= anchor) & (idx < anchor + max_delay)
+    weak_mag = jnp.where(window, mag[:, weak], -1.0)
+    weak_peak = jnp.argmax(weak_mag)
+    peak_idx = jnp.where(
+        jnp.arange(2) == weak, weak_peak, peak_idx)
+
+    boundary = round(reflection_boundary * fs)
+    early_win = (idx[:, None] < peak_idx[None, :] + boundary) \
+        .astype(brir.dtype)
+    return early_win * brir, (1 - early_win) * brir
+
+
+def colored_noise(rng, color_alpha, n_samples):
+    """Device colored noise with 1/f^alpha PSD (alpha traced scalar)."""
+    freqs = jnp.arange(n_samples // 2 + 1) / n_samples
+    shaping = freqs.at[0].set(freqs[1])**(-color_alpha / 2)
+    white = jax.random.normal(rng, (n_samples,))
+    spectrum = jnp.fft.rfft(white) * shaping
+    return jnp.fft.irfft(spectrum, n_samples)
+
+
+def decay_tail(rng, brir, brir_length, rt60, drr, delay, color_alpha, fs):
+    """Append a decaying-colored-noise tail (traced BRIRDecay).
+
+    The output buffer length is static (the padded BRIR length); the
+    tail occupies ``2*(rt60+delay)*fs`` samples like the reference, so
+    the caller must size the BRIR buffer (``max_brir`` in
+    ``pack_scenes``) to at least that many samples or the tail is
+    truncated.
+    """
+    n = brir.shape[0]
+    idx = jnp.arange(n)
+    valid = (idx < brir_length)[:, None]
+    mag = jnp.abs(brir) * valid
+    offset = jnp.min(jnp.argmax(mag, axis=0))
+    i_start = jnp.round(delay * fs).astype(jnp.int32) + offset
+    tail_end = jnp.round(2 * (rt60 + delay) * fs).astype(jnp.int32)
+
+    t = jnp.maximum(idx - i_start, 0) / fs
+    envelope = jnp.exp(-t / jnp.maximum(rt60, 1e-6) * 3 * jnp.log(10.0))
+    noise = colored_noise(rng, color_alpha, n)
+    window = ((idx >= i_start) & (idx < jnp.maximum(tail_end, brir_length))) \
+        .astype(brir.dtype)
+    tail = (envelope * noise * window)[:, None] * jnp.ones((1, 2))
+
+    # scale the tail to the target direct-to-reverberant ratio
+    e_brir = jnp.sum((brir * valid).mean(axis=1)**2)
+    e_tail = jnp.sum(tail.mean(axis=1)**2)
+    gain = jnp.sqrt(10**(-drr / 10) * e_brir / (e_tail + eps))
+    no_decay = rt60 == 0
+    return jnp.where(no_decay, brir, brir * valid + gain * tail)
+
+
+def _masked_energy(x, length, start=0):
+    idx = jnp.arange(x.shape[0])
+    mask = ((idx >= start) & (idx < length)).astype(x.dtype)
+    return jnp.sum((x.mean(axis=-1) * mask)**2)
+
+
+def synthesize_scene(rng, speech, speech_length, target_brir,
+                     target_brir_length, noises, noise_brirs,
+                     noise_brir_lengths, noise_mask, snr, rms_jitter,
+                     decay_params=None, fs=16000,
+                     reflection_boundary=0.05, pad=0):
+    """One scene: returns dict with mixture/foreground/background/....
+
+    Shapes (all static): speech (n,), target_brir (m, 2), noises
+    (k, n), noise_brirs (k, m, 2); ``noise_mask`` (k,) selects active
+    noises; lengths mask zero padding. ``decay_params`` is an optional
+    (rt60, drr, delay, color_alpha) tuple of traced scalars.
+    """
+    rng_decay, rng_noise_decay = jax.random.split(rng)
+
+    brir = target_brir
+    if decay_params is not None:
+        brir = decay_tail(rng_decay, brir, target_brir_length,
+                          *decay_params, fs=fs)
+        noise_keys = jax.random.split(
+            rng_noise_decay, noise_brirs.shape[0])
+        noise_brirs = jax.vmap(
+            lambda key, b, n: decay_tail(key, b, n, *decay_params, fs=fs),
+            in_axes=(0, 0, 0),
+        )(noise_keys, noise_brirs, noise_brir_lengths)
+
+    early_brir, late_brir = split_brir(
+        brir,
+        brir.shape[0] if decay_params is not None else target_brir_length,
+        reflection_boundary, fs)
+
+    n_out = speech.shape[0] + 2 * pad
+    padded_speech = jnp.pad(speech, (pad, pad))
+    early = spatialize(padded_speech, early_brir, n_out)
+    late = spatialize(padded_speech, late_brir, n_out)
+    if pad:
+        early = jnp.pad(early, ((pad, pad), (0, 0)))[:n_out]
+        late = jnp.pad(late, ((pad, pad), (0, 0)))[:n_out]
+
+    # directional noises: convolve each and mask
+    padded_noises = jnp.pad(noises, ((0, 0), (pad, pad)))[:, :n_out]
+    spatialized = jax.vmap(lambda x, b: spatialize(x, b, n_out))(
+        padded_noises, noise_brirs)
+    dir_noise = (spatialized * noise_mask[:, None, None]).sum(axis=0)
+    has_noise = noise_mask.sum() > 0
+
+    # target SNR over the speech active region: like the reference,
+    # only the noise components are scaled so that
+    # e_fg / (e_late + g^2 e_noise) hits the target
+    speech_start = pad
+    speech_end = pad + speech_length
+    e_fg = _masked_energy(early, speech_end, speech_start)
+    e_late = _masked_energy(late, speech_end, speech_start)
+    e_noise = _masked_energy(dir_noise, speech_end, speech_start)
+    target_bg = e_fg * 10**(-snr / 10)
+    gain = jnp.sqrt(jnp.maximum(target_bg - e_late, 0.0)
+                    / (e_noise + eps))
+    dir_noise = jnp.where(has_noise, gain * dir_noise, dir_noise)
+
+    mixture = early + late + dir_noise
+
+    # RMS jitter: reference does set_rms(get_rms() + jitter), i.e. a
+    # plain 10^(jitter/20) gain on everything
+    rms = jnp.sqrt(jnp.mean(mixture**2, axis=0)).max()
+    rms_db = 20 * jnp.log10(rms + eps) + rms_jitter
+    gain = 10**(rms_db / 20) / (rms + eps)
+    early, late, dir_noise = gain * early, gain * late, gain * dir_noise
+    mixture = early + late + dir_noise
+
+    return {
+        'mixture': mixture,
+        'foreground': early,
+        'background': late + dir_noise,
+        'speech': early + late,
+        'noise': dir_noise,
+    }
+
+
+@partial(jax.jit, static_argnames=('fs', 'reflection_boundary', 'pad',
+                                   'use_decay'))
+def synthesize_batch(rng, speech, speech_lengths, target_brirs,
+                     target_brir_lengths, noises, noise_brirs,
+                     noise_brir_lengths, noise_masks, snrs, rms_jitters,
+                     decay_rt60=None, decay_drr=None, decay_delay=None,
+                     decay_color_alpha=None, fs=16000,
+                     reflection_boundary=0.05, pad=0, use_decay=False):
+    """Batched scene synthesis; every argument carries a leading batch
+    axis. Returns a dict of (batch, samples, 2) arrays."""
+    keys = jax.random.split(rng, speech.shape[0])
+
+    def one(key, sp, sp_len, tb, tb_len, nz, nb, nb_len, nm, snr, rj,
+            rt60, drr, delay, alpha):
+        decay_params = (rt60, drr, delay, alpha) if use_decay else None
+        return synthesize_scene(
+            key, sp, sp_len, tb, tb_len, nz, nb, nb_len, nm, snr, rj,
+            decay_params=decay_params, fs=fs,
+            reflection_boundary=reflection_boundary, pad=pad)
+
+    if not use_decay:
+        zeros = jnp.zeros(speech.shape[0])
+        decay_rt60 = decay_drr = decay_delay = decay_color_alpha = zeros
+
+    return jax.vmap(one)(
+        keys, speech, speech_lengths, target_brirs, target_brir_lengths,
+        noises, noise_brirs, noise_brir_lengths, noise_masks, snrs,
+        rms_jitters, decay_rt60, decay_drr, decay_delay,
+        decay_color_alpha)
+
+
+def pack_scenes(scenes, max_samples, max_brir, max_noises):
+    """Host helper: pad a list of scene dicts into the static arrays
+    ``synthesize_batch`` consumes.
+
+    Each scene: {'speech': (n,), 'target_brir': (m, 2),
+    'noises': [(n_i,)...], 'noise_brirs': [(m_i, 2)...], 'snr': float,
+    'rms_jitter': float, optional 'decay': (rt60, drr, delay, alpha)}.
+    """
+    batch = len(scenes)
+    speech = np.zeros((batch, max_samples), np.float32)
+    speech_lengths = np.zeros(batch, np.int32)
+    target_brirs = np.zeros((batch, max_brir, 2), np.float32)
+    target_brir_lengths = np.zeros(batch, np.int32)
+    noises = np.zeros((batch, max_noises, max_samples), np.float32)
+    noise_brirs = np.zeros((batch, max_noises, max_brir, 2), np.float32)
+    noise_brir_lengths = np.ones((batch, max_noises), np.int32)
+    noise_masks = np.zeros((batch, max_noises), np.float32)
+    snrs = np.zeros(batch, np.float32)
+    rms_jitters = np.zeros(batch, np.float32)
+    decay = np.zeros((batch, 4), np.float32)
+
+    for i, scene in enumerate(scenes):
+        n = len(scene['speech'])
+        speech[i, :n] = scene['speech']
+        speech_lengths[i] = n
+        m = len(scene['target_brir'])
+        target_brirs[i, :m] = scene['target_brir']
+        target_brir_lengths[i] = m
+        for j, (noise, brir) in enumerate(
+                zip(scene.get('noises', []),
+                    scene.get('noise_brirs', []))):
+            k = min(len(noise), max_samples)
+            noises[i, j, :k] = noise[:k]
+            mb = len(brir)
+            noise_brirs[i, j, :mb] = brir
+            noise_brir_lengths[i, j] = mb
+            noise_masks[i, j] = 1.0
+        snrs[i] = scene.get('snr', 0.0)
+        rms_jitters[i] = scene.get('rms_jitter', 0.0)
+        if 'decay' in scene:
+            decay[i] = scene['decay']
+
+    return dict(
+        speech=speech, speech_lengths=speech_lengths,
+        target_brirs=target_brirs,
+        target_brir_lengths=target_brir_lengths,
+        noises=noises, noise_brirs=noise_brirs,
+        noise_brir_lengths=noise_brir_lengths, noise_masks=noise_masks,
+        snrs=snrs, rms_jitters=rms_jitters,
+        decay_rt60=decay[:, 0], decay_drr=decay[:, 1],
+        decay_delay=decay[:, 2], decay_color_alpha=decay[:, 3],
+    )

@@ -1,0 +1,131 @@
+"""On-device batched mixture synthesis: parity with the numpy path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brever_tpu.mixture import device as dev
+from brever_tpu.mixture.dsp import (
+    Mixture,
+    adjust_snr,
+    spatialize as np_spatialize,
+    split_brir as np_split_brir,
+)
+
+
+def test_fft_convolve_matches_scipy():
+    import scipy.signal
+    rng = np.random.RandomState(0)
+    x = rng.randn(1000).astype('float32')
+    k = rng.randn(64).astype('float32')
+    got = np.asarray(dev.fft_convolve(jnp.asarray(x), jnp.asarray(k), 1000))
+    want = scipy.signal.oaconvolve(x, k, mode='full')[:1000]
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_device_spatialize_matches_numpy():
+    rng = np.random.RandomState(1)
+    x = rng.randn(2000).astype('float32')
+    brir = rng.randn(128, 2).astype('float32')
+    got = np.asarray(dev.spatialize(jnp.asarray(x), jnp.asarray(brir)))
+    want = np_spatialize(x, brir)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_device_split_brir_matches_numpy():
+    rng = np.random.RandomState(2)
+    fs = 16000
+    brir = np.zeros((2000, 2), dtype='float32')
+    brir[50, 0] = 1.0
+    brir[55, 1] = 0.8
+    brir[900:] = 0.1 * rng.randn(1100, 2)
+    early_np, late_np = np_split_brir(brir, 0.05, fs)
+    early_dev, late_dev = dev.split_brir(
+        jnp.asarray(brir), 2000, 0.05, fs)
+    np.testing.assert_allclose(np.asarray(early_dev), early_np, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(late_dev), late_np, atol=1e-6)
+
+
+def test_device_colored_noise_psd():
+    x = np.asarray(dev.colored_noise(jax.random.PRNGKey(0),
+                                     jnp.asarray(1.0), 2**14))
+    spec = np.abs(np.fft.rfft(x))**2
+    f = np.fft.rfftfreq(2**14)
+    lo = spec[(f > 0.001) & (f < 0.01)].mean()
+    hi = spec[(f > 0.1) & (f < 0.5)].mean()
+    assert lo > 5 * hi  # pink: more energy at low frequencies
+
+
+def test_scene_parity_with_numpy_pipeline():
+    """Device scene == numpy Mixture for identical inputs (no decay)."""
+    rng = np.random.RandomState(3)
+    fs = 16000
+    n = 8000
+    speech = rng.randn(n).astype('float32')
+    brir = np.zeros((400, 2), dtype='float32')
+    brir[10, 0] = 1.0
+    brir[14, 1] = 0.9
+    brir[200:300] = 0.05 * rng.randn(100, 2)
+    noise = rng.randn(n).astype('float32')
+    noise_brir = np.zeros((400, 2), dtype='float32')
+    noise_brir[12, :] = 0.7
+    snr = 3.0
+
+    # numpy path
+    mix = Mixture()
+    mix.add_speech(x=speech, brir=brir, reflection_boundary=0.05,
+                   padding=0.0, fs=fs)
+    mix.add_noises([noise], [noise_brir])
+    mix.set_snr(snr)
+    mix.set_rms(mix.get_rms() + 0.0)
+
+    # device path
+    out = dev.synthesize_scene(
+        jax.random.PRNGKey(0),
+        jnp.asarray(speech), n,
+        jnp.asarray(brir), 400,
+        jnp.asarray(noise)[None], jnp.asarray(noise_brir)[None],
+        jnp.asarray([400]), jnp.asarray([1.0]),
+        jnp.asarray(snr), jnp.asarray(0.0),
+        fs=fs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out['foreground']), mix.foreground, rtol=1e-3,
+        atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(out['mixture']), mix.mixture, rtol=1e-3, atol=5e-3)
+
+
+def test_synthesize_batch_jits_and_shapes():
+    scenes = []
+    rng = np.random.RandomState(4)
+    for i in range(3):
+        brir = np.zeros((64, 2), dtype='float32')
+        brir[5, :] = 1.0
+        scenes.append({
+            'speech': rng.randn(4000 + 100 * i).astype('float32'),
+            'target_brir': brir,
+            'noises': [rng.randn(4000).astype('float32')],
+            'noise_brirs': [brir],
+            'snr': 5.0,
+            'rms_jitter': 0.0,
+            'decay': (0.2, 20.0, 0.01, 0.0),
+        })
+    # max_brir must cover the decay tail: 2*(rt60+delay)*fs = 6720
+    packed = dev.pack_scenes(scenes, max_samples=4200, max_brir=8192,
+                             max_noises=2)
+    out = dev.synthesize_batch(
+        jax.random.PRNGKey(0),
+        **{k: jnp.asarray(v) for k, v in packed.items()},
+        use_decay=True,
+    )
+    assert out['mixture'].shape == (3, 4200, 2)
+    assert np.isfinite(np.asarray(out['mixture'])).all()
+    # second call hits the jit cache (no exception, same shapes)
+    out2 = dev.synthesize_batch(
+        jax.random.PRNGKey(1),
+        **{k: jnp.asarray(v) for k, v in packed.items()},
+        use_decay=True,
+    )
+    assert not np.allclose(np.asarray(out['mixture']),
+                           np.asarray(out2['mixture']))
