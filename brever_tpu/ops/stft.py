@@ -107,7 +107,7 @@ class STFT:
     def __init__(self, frame_length=512, hop_length=256, window='hann',
                  center=True, pad_mode='constant', normalized=True,
                  onesided=True, compression_factor=1, scale_factor=1,
-                 n_fft=None):
+                 n_fft=None, backend='auto'):
         self.frame_length = frame_length
         self.hop_length = hop_length
         self.center = center
@@ -117,6 +117,7 @@ class STFT:
         self.compression_factor = compression_factor
         self.scale_factor = scale_factor
         self.n_fft = frame_length if n_fft is None else n_fft
+        self.backend = backend
 
         window = _get_window(window, frame_length)
         if self.n_fft > frame_length:
@@ -125,6 +126,31 @@ class STFT:
             window = np.pad(window, (left, self.n_fft - frame_length - left))
         self.window = jnp.asarray(window)
         self._win_norm = float(np.sqrt(np.sum(window.astype(np.float64)**2)))
+        self._np_window = window
+        self._pallas = None
+
+    def _pallas_core(self):
+        """Lazily build the fused Pallas forward core (opt-in via
+        ``backend='pallas'``; requires onesided and hop | n_fft).
+
+        Measured on a v5e: the fused framing+window+rDFT-matmul kernel
+        matches XLA's rfft path (both ~0.7 ms for 16x4 s at 512/256 —
+        dispatch-floor dominated; the STFT is not a bottleneck at
+        speech-enhancement sizes), so 'auto' keeps the jnp path and the
+        kernel remains available for configurations where the MXU form
+        wins (e.g. very large batches of short transforms).
+        """
+        if self.backend != 'pallas':
+            return None
+        if self._pallas is None:
+            from .pallas.stft_kernel import PallasSTFT
+            eligible = (
+                self.onesided and self.n_fft % self.hop_length == 0
+            )
+            self._pallas = PallasSTFT(
+                self.n_fft, self.hop_length, self._np_window
+            ) if eligible else False
+        return self._pallas or None
 
     def __call__(self, x, return_type='complex'):
         return self.forward(x, return_type=return_type)
@@ -136,13 +162,18 @@ class STFT:
                 + [(self.n_fft // 2, self.n_fft // 2)]
             mode = 'constant' if self.pad_mode == 'constant' else self.pad_mode
             x = jnp.pad(x, widths, mode=mode)
-        frames = frame_signal(x, self.n_fft, self.hop_length)
-        frames = frames * self.window
-        if self.onesided:
-            spec = jnp.fft.rfft(frames, n=self.n_fft, axis=-1)
+        pallas_core = self._pallas_core() \
+            if not jnp.iscomplexobj(x) else None
+        if pallas_core is not None:
+            spec = pallas_core(x)  # (..., bins, frames), fused kernel
         else:
-            spec = jnp.fft.fft(frames, n=self.n_fft, axis=-1)
-        spec = jnp.swapaxes(spec, -1, -2)  # (..., bins, frames)
+            frames = frame_signal(x, self.n_fft, self.hop_length)
+            frames = frames * self.window
+            if self.onesided:
+                spec = jnp.fft.rfft(frames, n=self.n_fft, axis=-1)
+            else:
+                spec = jnp.fft.fft(frames, n=self.n_fft, axis=-1)
+            spec = jnp.swapaxes(spec, -1, -2)  # (..., bins, frames)
 
         if self.normalized:
             spec = spec / self._win_norm

@@ -2,6 +2,7 @@
 resampling — the numerical contracts pinned by the reference suite
 (reference tests/test_modules.py)."""
 
+import functools
 import itertools
 
 import jax
@@ -250,3 +251,20 @@ def test_resampling_matches_torch():
     ).numpy()
     got_up = np.asarray(upsample_2d(jnp.asarray(got_down), k))
     np.testing.assert_allclose(got_up, ref_up, atol=1e-5)
+
+
+def test_pallas_stft_matches_jnp_interpret():
+    """Fused Pallas STFT kernel == jnp path (interpreter mode on CPU)."""
+    from unittest import mock
+    import brever_tpu.ops.pallas.stft_kernel as pk
+    x = np.random.RandomState(0).randn(2, 8192).astype('float32')
+    stft_jnp = STFT(512, 256, backend='jnp')
+    want = np.asarray(stft_jnp(jnp.asarray(x)))
+    with mock.patch.object(pk.pl, 'pallas_call',
+                           functools.partial(pk.pl.pallas_call,
+                                             interpret=True)):
+        stft_pal = STFT(512, 256, backend='pallas')
+        got = np.asarray(stft_pal(jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.abs(got), np.abs(want), atol=2e-3)
+    np.testing.assert_allclose(got.real, want.real, atol=2e-3)
