@@ -332,10 +332,15 @@ class BreverDataLoader:
     Yields ``(batch, lengths)`` numpy pairs; device placement/sharding
     is the trainer's job (it knows the mesh). ``set_epoch`` regenerates
     sampler batches and reseeds dynamic mixing.
+
+    ``native=True`` routes eligible batches (tar-backed WAV dataset, no
+    item transform, no preloading/dynamic mixing) through the C++
+    runtime (:mod:`brever_tpu.native`): members are pread+decoded in
+    parallel without the GIL, straight into the padded batch buffer.
     """
 
     def __init__(self, dataset, batch_sampler, num_workers=0,
-                 pad_to_multiple=None):
+                 pad_to_multiple=None, native=False):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.num_workers = num_workers
@@ -344,6 +349,20 @@ class BreverDataLoader:
         if num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        self.native = native and self._native_eligible()
+
+    def _native_eligible(self):
+        from . import native as native_lib
+        ds = self.dataset
+        return (
+            getattr(ds, 'archive', None) is not None
+            and getattr(ds, 'transform', None) is None
+            and getattr(ds, 'preloaded_data', None) is None
+            and getattr(ds, 'rmm_dset', None) is None
+            and getattr(ds, '_ext', '.wav') in (None, '.wav')
+            and getattr(ds, 'segment_strategy', 'pass') != 'random'
+            and native_lib.available()
+        )
 
     def set_epoch(self, epoch):
         self.batch_sampler.set_epoch(epoch)
@@ -354,12 +373,48 @@ class BreverDataLoader:
 
     def __iter__(self):
         for indices in self.batch_sampler:
+            if self.native:
+                yield self._native_batch(indices)
+                continue
             if self._pool is not None:
                 items = list(self._pool.map(self.dataset.__getitem__,
                                             indices))
             else:
                 items = [self.dataset[i] for i in indices]
             yield collate(items, self.pad_to_multiple)
+
+    def _native_batch(self, indices):
+        from . import native as native_lib
+        ds = self.dataset
+        segments = [ds._segment_info[i] for i in indices]
+        seg_lengths = np.array(
+            [end - start for _, (start, end) in segments], np.int32)
+        target = int(seg_lengths.max())
+        if self.pad_to_multiple:
+            target = -(-target // self.pad_to_multiple) \
+                * self.pad_to_multiple
+        decode_to = int(max(end for _, (_, end) in segments))
+
+        members = ds.archive.members
+        tar_path = ds.archive.archive
+        n = len(indices)
+        n_sources = len(ds.sources)
+        # decode whole files (up to the furthest segment end) per source
+        batch = np.zeros((n, n_sources, 2, target), np.float32)
+        for s in range(n_sources):
+            offsets, sizes = [], []
+            for file_idx, _ in segments:
+                name = ds.build_paths(file_idx)[s].replace('\\', '/')
+                member = members[name]
+                # skip the 44-byte-ish RIFF header? no: decode parses it
+                offsets.append(member.offset_data)
+                sizes.append(member.size)
+            full, _ = native_lib.load_tar_batch(
+                tar_path, offsets, sizes, 2, decode_to)
+            for i, (_, (start, end)) in enumerate(segments):
+                seg = full[i, :, start:end]
+                batch[i, s, :, :seg.shape[-1]] = seg
+        return batch, seg_lengths
 
 
 class RandomMixtureMakerDataset:

@@ -22,8 +22,10 @@ def _flat_params(state, k=10):
 
 def make_trainer(tmp_path, model, **kwargs):
     defaults = dict(
-        train_dataset=DummyDataset(n_items=8),
-        val_dataset=DummyDataset(n_items=4, seed=7),
+        train_dataset=DummyDataset(n_items=8, min_length=0.5,
+                                   max_length=1.0),
+        val_dataset=DummyDataset(n_items=4, min_length=0.5,
+                                 max_length=1.0, seed=7),
         model_dirpath=str(tmp_path),
         epochs=2,
         device='cpu',
@@ -39,10 +41,13 @@ def make_trainer(tmp_path, model, **kwargs):
     return BreverTrainer(model=model, **defaults)
 
 
+def _shape_count(model):
+    shapes = jax.eval_shape(model.init_variables, jax.random.PRNGKey(0))
+    return count_params(shapes['params'])
+
+
 def test_ffnn_param_count():
-    model = ModelRegistry.get('ffnn')()
-    variables = model.init_variables(jax.random.PRNGKey(0))
-    assert count_params(variables['params']) == 1509440
+    assert _shape_count(ModelRegistry.get('ffnn')()) == 1509440
 
 
 def test_ffnn_training_is_deterministic(tmp_path):
@@ -143,9 +148,7 @@ def test_samplers_through_trainer(tmp_path, sampler):
 
 
 def test_convtasnet_param_count():
-    model = ModelRegistry.get('convtasnet')()
-    variables = model.init_variables(jax.random.PRNGKey(0))
-    assert count_params(variables['params']) == 4935217
+    assert _shape_count(ModelRegistry.get('convtasnet')()) == 4935217
 
 
 @pytest.mark.slow
@@ -183,9 +186,7 @@ def test_convtasnet_causal_latency():
 
 
 def test_dccrn_param_count():
-    model = ModelRegistry.get('dccrn')()
-    variables = model.init_variables(jax.random.PRNGKey(0))
-    assert count_params(variables['params']) == 3671053
+    assert _shape_count(ModelRegistry.get('dccrn')()) == 3671053
 
 
 @pytest.mark.slow
@@ -208,9 +209,7 @@ def test_dccrn_trains(tmp_path):
 
 
 def test_tfgridnet_param_count():
-    model = ModelRegistry.get('tfgridnet')()
-    variables = model.init_variables(jax.random.PRNGKey(0))
-    assert count_params(variables['params']) == 3735344
+    assert _shape_count(ModelRegistry.get('tfgridnet')()) == 3735344
 
 
 @pytest.mark.slow
@@ -239,9 +238,7 @@ def test_tfgridnet_lr_plateau_update():
 
 
 def test_sgmsep_param_count():
-    model = ModelRegistry.get('sgmsep')()
-    variables = model.init_variables(jax.random.PRNGKey(0))
-    assert count_params(variables['params']) == 65590694
+    assert _shape_count(ModelRegistry.get('sgmsep')()) == 65590694
 
 
 @pytest.mark.slow
@@ -252,11 +249,7 @@ def test_sgmse_small_trains(tmp_path, arch):
         net_num_blocks_per_res=1, solver_num_steps=2,
         net_attn_bottleneck=False, stft_frame_length=128,
         stft_hop_length=64)
-    trainer = make_trainer(
-        tmp_path / arch, model, epochs=1, ema=True,
-        train_dataset=DummyDataset(n_items=4, min_length=0.5, max_length=1.0),
-        val_dataset=DummyDataset(n_items=2, min_length=0.5, max_length=1.0,
-                                 seed=7))
+    trainer = make_trainer(tmp_path / arch, model, epochs=1, ema=True)
     trainer.run()
     losses = trainer.loss_logger.train_loss
     assert all(np.isfinite(x) for x in losses if isinstance(x, float))
@@ -267,12 +260,13 @@ def test_sgmse_enhance_solvers():
     for arch in ('sgmsepm', 'sgmsepmheun'):
         model = ModelRegistry.get(arch)(
             net_base_channels=16, net_channel_mult=[1, 2],
-            net_num_blocks_per_res=1, solver_num_steps=2,
-            net_attn_bottleneck=False)
+            net_num_blocks_per_res=1, solver_num_steps=1,
+            net_attn_bottleneck=False, stft_frame_length=128,
+            stft_hop_length=64)
         variables = model.init_variables(jax.random.PRNGKey(0))
-        x = np.random.RandomState(0).randn(1, 2, 4000).astype('float32')
+        x = np.random.RandomState(0).randn(1, 2, 2000).astype('float32')
         out = model.enhance(variables, jnp.asarray(x))
-        assert out.shape == (1, 4000)
+        assert out.shape == (1, 2000)
         assert np.isfinite(np.asarray(out)).all()
 
 
@@ -312,8 +306,7 @@ def test_expi_matches_scipy():
 def test_metricgan_param_count():
     model = ModelRegistry.get('metricganokd')(
         target_metrics=['stoi'], inference_metric='stoi')
-    variables = model.init_variables(jax.random.PRNGKey(0))
-    assert count_params(variables['params']) == 2172329
+    assert _shape_count(model) == 2172329
 
 
 @pytest.mark.slow
@@ -323,12 +316,7 @@ def test_metricgan_trains(tmp_path):
         generator_lstm_hidden_size=16, generator_fc_channels=[16],
         discriminator_conv_channels=[4, 8],
         discriminator_fc_channels=[8])
-    trainer = make_trainer(
-        tmp_path, model, epochs=1,
-        train_dataset=DummyDataset(n_items=4, min_length=0.5,
-                                   max_length=1.0),
-        val_dataset=DummyDataset(n_items=2, min_length=0.5,
-                                 max_length=1.0, seed=7))
+    trainer = make_trainer(tmp_path, model, epochs=1)
     trainer.run()
     losses = trainer.loss_logger.train_loss
     assert isinstance(losses[0], dict)
@@ -349,9 +337,7 @@ def test_metricgan_enhance():
 
 
 def test_manner_param_count():
-    model = ModelRegistry.get('manner')()
-    variables = model.init_variables(jax.random.PRNGKey(0))
-    assert count_params(variables['params']) == 21253921
+    assert _shape_count(ModelRegistry.get('manner')()) == 21253921
 
 
 def test_model_registry_complete():
@@ -361,3 +347,44 @@ def test_model_registry_complete():
         'sgmsepmheun', 'idmse', 'manner', 'metricganokd', 'metricganp',
         'tfgridnet',
     }
+
+
+# ----------------------------------------------------------------------
+# golden-value regression tests (the reference suite's backbone pattern,
+# tests/test_training.py:24-231): 2 epochs on the seeded DummyDataset
+# must reproduce these exact leading parameters. Regenerate with the
+# snippet in the repo history if an *intentional* change shifts them.
+
+GOLDEN_PARAMS = {
+    'ffnn': [
+        0.00020803949155379087, -0.0007974118343554437,
+        -0.000297341903205961, -0.0008007583674043417,
+        -0.0007920333300717175, -0.00025882053887471557,
+        -0.0007619466632604599, -0.0007973231258802116,
+        2.642084473336581e-05, -0.0007691208156757057,
+    ],
+    'convtasnet': [
+        0.010946953669190407, 0.03836086392402649, -0.025429803878068924,
+        -0.01223459281027317, 0.05401523411273956, -0.006896559614688158,
+        0.018995529040694237, 0.020519014447927475, 0.0553530752658844,
+        0.015269199386239052,
+    ],
+}
+
+GOLDEN_KWARGS = {
+    'ffnn': dict(hidden_layers=[64]),
+    'convtasnet': dict(filters=64, filter_length=16,
+                       bottleneck_channels=32, hidden_channels=64,
+                       skip_channels=32, layers=2, repeats=2),
+}
+
+
+@pytest.mark.parametrize('arch', sorted(GOLDEN_PARAMS))
+def test_golden_training_values(tmp_path, arch):
+    model = ModelRegistry.get(arch)(**GOLDEN_KWARGS[arch])
+    trainer = make_trainer(tmp_path, model, epochs=2, batch_size=16)
+    trainer.run()
+    got = _flat_params(trainer.state)
+    np.testing.assert_allclose(
+        got, np.array(GOLDEN_PARAMS[arch], dtype='float32'),
+        rtol=1e-5, atol=1e-7)
