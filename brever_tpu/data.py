@@ -57,6 +57,7 @@ class BreverDataset:
         transform: NoParse[Transform | None] = None,
         dynamic_mixing: bool = False,
         dynamic_mixtures_per_epoch: int = 1000,
+        dynamic_mixing_device: bool = False,
     ):
         self.path = path
         self.segment_length = round(segment_length * fs)
@@ -71,7 +72,8 @@ class BreverDataset:
             self.archive = None
         if dynamic_mixing:
             self.rmm_dset = RandomMixtureMakerDataset(
-                path, sources=sources, size=dynamic_mixtures_per_epoch)
+                path, sources=sources, size=dynamic_mixtures_per_epoch,
+                device=dynamic_mixing_device)
         else:
             self.rmm_dset = None
         self.transform = transform
@@ -372,7 +374,18 @@ class BreverDataLoader:
         return len(self.batch_sampler)
 
     def __iter__(self):
+        device_mix = (
+            getattr(self.dataset, 'rmm_dset', None) is not None
+            and getattr(self.dataset.rmm_dset, 'device', False)
+            and getattr(self.dataset, 'segment_length', 0) == 0
+            and getattr(self.dataset, 'transform', None) is None
+        )
         for indices in self.batch_sampler:
+            if device_mix:
+                # segment index == file index when segment_length == 0
+                yield self.dataset.rmm_dset.synthesize_batch(
+                    indices, self.pad_to_multiple)
+                continue
             if self.native:
                 yield self._native_batch(indices)
                 continue
@@ -422,20 +435,117 @@ class RandomMixtureMakerDataset:
 
     ``set_epoch(e)`` rebuilds the metadata tree with ``seed=e`` and
     rolls ``size`` scene descriptions; items are synthesized lazily.
+
+    ``device=True`` enables the batched on-device synthesis path
+    (:mod:`brever_tpu.mixture.device`): the host only rolls metadata
+    and loads raw material, the convolutions/gains run jitted on the
+    accelerator (~14x a CPU core on a v5e). The device path supports
+    the target + directional-noise + decay scene family (no diffuse
+    noise / ndr / tmr) and is not bit-compatible with the numpy path
+    (device PRNG for noise/decay draws).
     """
 
-    def __init__(self, path, sources, size):
+    def __init__(self, path, sources, size, device=False):
         import yaml
         self.sources = sources
         self.size = size
+        self.device = device
         with open(os.path.join(path, 'config.yaml')) as f:
             self.cfg = yaml.load(f, Loader=yaml.Loader)['rmm']
+        if device and (self.cfg.get('diffuse') or self.cfg.get(
+                'uniform_tmr')):
+            raise ValueError(
+                'device dynamic mixing does not support diffuse noise '
+                'or uniform_tmr scenes')
         from .mixture import RandomMixtureMaker
         self.rmm = RandomMixtureMaker(**self.cfg)
         self.set_epoch(0)
 
+    def synthesize_batch(self, indices, pad_to_multiple=None):
+        """Batched on-device synthesis of the given scene indices.
+
+        Returns ``(batch (B, n_sources, 2, samples), lengths (B,))``.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from .mixture.device import pack_scenes, synthesize_batch
+        from .mixture.dsp import colored_noise
+        import re as _re
+
+        loader = self.rmm.loader
+        fs = self.cfg.get('fs', 16000)
+        use_decay = bool(self.cfg.get('decay', False))
+        scenes = []
+        max_brir = 1
+        for i in indices:
+            meta = self._metadatas[i]
+            speech = loader.load_file(meta['target']['file'])
+            brir, _ = loader.load_brirs(
+                meta['room'], meta['target']['angle'])
+            max_brir = max(max_brir, len(brir))
+            noises, noise_brirs = [], []
+            for noise in meta.get('noises', []):
+                kind = noise['type']
+                if kind.startswith('colored_'):
+                    color = _re.match('^colored_(.*)$', kind).group(1)
+                    x = colored_noise(color, len(speech))
+                else:
+                    x = loader.load_noise(
+                        file=noise['file'], n_samples=len(speech),
+                        i_start=noise['i_start'], i_min=noise['i_min'],
+                        i_max=noise['i_max'])
+                nb, _ = loader.load_brirs(meta['room'], noise['angle'])
+                max_brir = max(max_brir, len(nb))
+                noises.append(x)
+                noise_brirs.append(nb)
+            scene = {
+                'speech': speech,
+                'target_brir': brir,
+                'noises': noises,
+                'noise_brirs': noise_brirs,
+                'snr': meta.get('snr', 0.0),
+                'rms_jitter': meta.get('rms_jitter', 0.0),
+            }
+            if use_decay:
+                d = meta['decay']
+                from .mixture.dsp import NOISE_COLORS
+                scene['decay'] = (d['rt60'], d['drr'], d['delay'],
+                                  float(NOISE_COLORS[d['color']]))
+                max_brir = max(
+                    max_brir,
+                    int(round(2 * (d['rt60'] + d['delay']) * fs)))
+            scenes.append(scene)
+
+        max_samples = max(len(s['speech']) for s in scenes)
+        if pad_to_multiple:
+            max_samples = -(-max_samples // pad_to_multiple) \
+                * pad_to_multiple
+        # quantize the BRIR buffer for compile-cache friendliness
+        max_brir = -(-max_brir // 4096) * 4096
+        max_noises = max(
+            (len(s['noises']) for s in scenes), default=0) or 1
+        packed = pack_scenes(scenes, max_samples, max_brir, max_noises)
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self._epoch), int(indices[0]))
+        out = synthesize_batch(
+            key, **{k: jnp.asarray(v) for k, v in packed.items()},
+            fs=fs,
+            reflection_boundary=self.cfg.get('reflection_boundary', 0.05),
+            pad=round(self.cfg.get('padding', 0.0) * fs),
+            use_decay=use_decay,
+        )
+        # (B, samples, 2) components -> (B, n_sources, 2, samples)
+        batch = jnp.stack(
+            [jnp.moveaxis(out[source], -1, -2) for source in self.sources],
+            axis=1)
+        lengths = np.array(
+            [len(s['speech']) for s in scenes], np.int32)
+        return np.asarray(batch), lengths
+
     def set_epoch(self, epoch):
         from .mixture import MixtureMetadata
+        self._epoch = epoch
         kwargs = dict(self.cfg)
         kwargs['seed'] = epoch
         self.rmm.metadata = MixtureMetadata(loader=self.rmm.loader, **kwargs)

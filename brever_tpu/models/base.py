@@ -173,6 +173,12 @@ class BreverBaseModel:
     def load_extra_state(self, state):
         pass
 
+    def compile(self, *args, **kwargs):
+        """API-parity no-op: the reference optionally torch.compiles the
+        model in place (brever/models/base.py:334-352); here every
+        compute path is jit-compiled by construction."""
+        pass
+
     # ------------------------------------------------------------------
     # helpers
 

@@ -358,3 +358,32 @@ class IDMSE(SGMSEp):
             net_block_type=net_block_type,
             **kwargs,
         )
+
+
+@ModelRegistry.register('idmselarge')
+class IDMSELarge(IDMSE):
+    """IDMSE with the NCSN++-sized backbone (the reference ships this
+    as a config-only variant, config/models/idmselarge.yaml, with a
+    stale schema and no registry entry; registered properly here)."""
+
+    _is_submodel = True
+
+    def __init__(
+        self,
+        net_base_channels: int = 128,
+        net_channel_mult: list[int] = [1, 1, 2, 2, 2, 2, 2],
+        net_num_blocks_per_res: int = 2,
+        net_noise_channel_mult: int = 2,
+        net_fir_kernel: list[int] = [1, 3, 3, 1],
+        net_attn_resolutions: list[int] = [16],
+        **kwargs,
+    ):
+        super().__init__(
+            net_base_channels=net_base_channels,
+            net_channel_mult=net_channel_mult,
+            net_num_blocks_per_res=net_num_blocks_per_res,
+            net_noise_channel_mult=net_noise_channel_mult,
+            net_fir_kernel=net_fir_kernel,
+            net_attn_resolutions=net_attn_resolutions,
+            **kwargs,
+        )

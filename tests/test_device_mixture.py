@@ -129,3 +129,63 @@ def test_synthesize_batch_jits_and_shapes():
     )
     assert not np.allclose(np.asarray(out['mixture']),
                            np.asarray(out2['mixture']))
+
+
+def test_device_dynamic_mixing_loader(tmp_path):
+    """Device dynamic mixing end-to-end through the dataloader."""
+    import os
+    import yaml
+    from brever_tpu.batching import SortedBatchSampler
+    from brever_tpu.data import BreverDataLoader, BreverDataset
+    from brever_tpu.mixture.synthetic import make_synthetic_speech_corpus
+
+    corpus = tmp_path / 'corpus'
+    make_synthetic_speech_corpus(str(corpus), n_speakers=2,
+                                 files_per_speaker=2, seed=0)
+    cfg_dir = tmp_path / 'config'
+    os.makedirs(cfg_dir)
+    with open(cfg_dir / 'paths.yaml', 'w') as f:
+        yaml.dump({'SYNTH': str(corpus)}, f)
+
+    dset_dir = tmp_path / 'dset'
+    os.makedirs(dset_dir)
+    rmm_cfg = dict(
+        fs=16000, seed=0,
+        speakers=['synth_.*'], noises=['colored_pink'],
+        rooms=['synthetic_.*'], decay=True,
+        decay_rt60_dist_args=[0.1, 0.2], noise_num=[1, 2],
+    )
+    with open(dset_dir / 'config.yaml', 'w') as f:
+        yaml.dump({'rmm': rmm_cfg}, f)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        import brever_tpu.mixture.io as mio
+        orig = mio.AudioFileLoader.__init__
+        paths_file = str(cfg_dir / 'paths.yaml')
+
+        def patched(self, fs=16e3, resample=True, _p=paths_file, **kw):
+            orig(self, fs=fs, resample=resample, paths_file=_p)
+
+        mio.AudioFileLoader.__init__ = patched
+        try:
+            ds = BreverDataset(
+                path=str(dset_dir), dynamic_mixing=True,
+                dynamic_mixtures_per_epoch=4,
+                dynamic_mixing_device=True)
+        finally:
+            mio.AudioFileLoader.__init__ = orig
+        sampler = SortedBatchSampler(ds, batch_size=2, shuffle=False)
+        loader = BreverDataLoader(ds, sampler, pad_to_multiple=4000)
+        total = 0
+        for batch, lengths in loader:
+            assert batch.ndim == 4 and batch.shape[1] == 2
+            assert batch.shape[2] == 2  # binaural
+            assert np.isfinite(batch).all()
+            # mixture = components must be non-trivial
+            assert np.abs(batch).max() > 0
+            total += batch.shape[0]
+        assert total == 4
+    finally:
+        os.chdir(cwd)
