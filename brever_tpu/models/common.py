@@ -65,3 +65,80 @@ class CausalLayerNormModule(nn.Module):
 def make_norm(causal, eps=1e-8):
     return CausalLayerNormModule(eps=eps) if causal \
         else GlobalLayerNorm(eps=eps)
+
+
+class ComplexBatchNorm(nn.Module):
+    """Complex batch norm via 2x2 covariance whitening (Trabelsi 2018).
+
+    Input is channels-last with stacked real/imag halves:
+    ``(batch, ..., 2*C)`` where the first C channels are the real parts.
+    Statistics are per complex channel over batch+spatial dims; the
+    affine transform has weights (W_rr, W_ri, W_ii) initialized to the
+    identity and a complex bias. Behavior matches the reference's
+    vendored cplxmodule ComplexBatchNorm2d
+    (brever/models/dccrn/complex_batchnorm.py:29-187).
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        n_channels = x.shape[-1] // 2
+        # (2, batch, ..., C)
+        z = jnp.stack([x[..., :n_channels], x[..., n_channels:]], axis=0)
+        axes = tuple(range(1, z.ndim - 1))
+
+        running_mean = self.variable(
+            'batch_stats', 'mean',
+            lambda: jnp.zeros((2, n_channels)))
+        running_cov = self.variable(
+            'batch_stats', 'cov',
+            lambda: jnp.tile(jnp.eye(2)[:, :, None], (1, 1, n_channels)))
+        weight = self.param(
+            'weight',
+            lambda key: jnp.tile(jnp.array([[1.0], [0.0], [1.0]]),
+                                 (1, n_channels)))
+        bias = self.param(
+            'bias', nn.initializers.zeros, (2, n_channels))
+
+        if train:
+            mean = z.mean(axis=axes)
+            centered = z - mean.reshape(2, *([1] * len(axes)), n_channels)
+            var = (centered**2).mean(axis=axes) + self.eps
+            cov_uv = (centered[0] * centered[1]).mean(
+                axis=tuple(a - 1 for a in axes))
+            cov = jnp.stack([var[0], cov_uv, cov_uv, var[1]]).reshape(
+                2, 2, n_channels)
+            if not self.is_initializing():
+                running_mean.value = running_mean.value + self.momentum \
+                    * (mean - running_mean.value)
+                running_cov.value = running_cov.value + self.momentum \
+                    * (cov - running_cov.value)
+        else:
+            mean = running_mean.value
+            centered = z - mean.reshape(2, *([1] * len(axes)), n_channels)
+            cov = running_cov.value
+
+        cov_uu, cov_uv = cov[0, 0], cov[0, 1]
+        cov_vu, cov_vv = cov[1, 0], cov[1, 1]
+        # explicit inverse square root of the 2x2 covariance
+        s = jnp.sqrt(cov_uu * cov_vv - cov_uv * cov_vu)
+        t = jnp.sqrt(cov_uu + cov_vv + 2 * s)
+        denom = t * s
+        p = (cov_vv + s) / denom
+        q = -cov_uv / denom
+        r = -cov_vu / denom
+        w = (cov_uu + s) / denom
+
+        shape = (*([1] * len(axes)), n_channels)
+        white_r = centered[0] * p.reshape(shape) \
+            + centered[1] * r.reshape(shape)
+        white_i = centered[0] * q.reshape(shape) \
+            + centered[1] * w.reshape(shape)
+
+        out_r = white_r * weight[0].reshape(shape) \
+            + white_i * weight[1].reshape(shape) + bias[0].reshape(shape)
+        out_i = white_r * weight[1].reshape(shape) \
+            + white_i * weight[2].reshape(shape) + bias[1].reshape(shape)
+        return jnp.concatenate([out_r, out_i], axis=-1)

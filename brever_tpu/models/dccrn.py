@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops import STFT
 from .base import BreverBaseModel, ModelRegistry
-from .common import PReLU
+from .common import ComplexBatchNorm, PReLU
 from .rnn import LSTM
 
 
@@ -78,6 +78,15 @@ class _DCCRNModule(nn.Module):
     output_padding: tuple
     lstm_channels: int
     lstm_layers: int
+    complex_batchnorm: bool = False
+
+    def _norm(self, name):
+        if self.complex_batchnorm:
+            return lambda h, train: ComplexBatchNorm(name=name)(
+                h, train=train)
+        return lambda h, train: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name=name)(h)
 
     @nn.compact
     def __call__(self, x, train=False):
@@ -102,10 +111,7 @@ class _DCCRNModule(nn.Module):
                 features=ch, kernel_size=(kf, kt), strides=(sf, st),
                 padding=enc_pad, name=f'enc_conv_{i}',
             )(h)
-            h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name=f'enc_norm_{i}',
-            )(h)
+            h = self._norm(f'enc_norm_{i}')(h, train)
             h = PReLU(name=f'enc_prelu_{i}')(h)
             skips.append(h)
 
@@ -141,10 +147,7 @@ class _DCCRNModule(nn.Module):
                 padding=dec_pad, transpose=True, name=f'dec_conv_{j}',
             )(h)
             if i != 0:
-                h = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9,
-                    epsilon=1e-5, name=f'dec_norm_{j}',
-                )(h)
+                h = self._norm(f'dec_norm_{j}')(h, train)
                 h = PReLU(name=f'dec_prelu_{j}')(h)
         return h  # (batch, freq, frames, 2) complex mask as real|imag
 
@@ -170,10 +173,6 @@ class DCCRN(BreverBaseModel):
         learning_rate: float = 0.0001,
     ):
         super().__init__(criterion=criterion)
-        # note: the reference's optional "true complex batchnorm"
-        # (covariance whitening) is approximated by the standard
-        # BatchNorm over stacked real/imag channels in both settings
-        del use_complex_batchnorm
         self.stft = STFT(
             frame_length=stft_frame_length,
             hop_length=stft_hop_length,
@@ -191,6 +190,7 @@ class DCCRN(BreverBaseModel):
             output_padding=tuple(output_padding),
             lstm_channels=lstm_channels,
             lstm_layers=lstm_layers,
+            complex_batchnorm=use_complex_batchnorm,
         )
         self.optimizer_name = optimizer
         self.learning_rate = learning_rate

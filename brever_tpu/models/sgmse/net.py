@@ -118,6 +118,19 @@ class UNetBlock(nn.Module):
         return x
 
 
+def _block(remat, **kwargs):
+    """UNetBlock, rematerialized when it has no resampler.
+
+    Remat halves peak HBM for diffusion training (activations of the
+    two 3x3 convs per block dominate); blocks that resample are left
+    unrematerialized because the FIR resampler's odd-shape padding
+    stack is trace-time state that must not be replayed.
+    """
+    cls = nn.remat(UNetBlock, static_argnums=(2, 3)) if remat \
+        else UNetBlock
+    return cls(**kwargs)
+
+
 class DiffusionUNet(nn.Module):
     num_freqs: int
     base_channels: int = 128
@@ -169,7 +182,8 @@ class DiffusionUNet(nn.Module):
             attention = (self.num_freqs >> i) in self.attn_resolutions
             for b in range(n_blocks):
                 is_down = has_resample and b == n_blocks - 1
-                x = UNetBlock(
+                x = _block(
+                    not is_down,
                     in_channels=in_ch if b == 0 else channels[i],
                     out_channels=channels[i],
                     block_type=self.block_type,
@@ -194,13 +208,15 @@ class DiffusionUNet(nn.Module):
             skips.append(x)
 
         # ---------------------------------------------------- bottleneck
-        x = UNetBlock(
+        x = _block(
+            True,
             in_channels=channels[-1], out_channels=channels[-1],
             block_type=self.block_type, skip_scale=self.skip_scale,
             dropout=self.dropout, attention=self.attn_bottleneck,
             name='bottleneck_1',
         )(x, emb, None, deterministic)
-        x = UNetBlock(
+        x = _block(
+            True,
             in_channels=channels[-1], out_channels=channels[-1],
             block_type=self.block_type, skip_scale=self.skip_scale,
             dropout=self.dropout,
@@ -215,7 +231,8 @@ class DiffusionUNet(nn.Module):
             attention = (self.num_freqs >> i) in self.attn_resolutions
             n_blocks = self.num_blocks_per_res + 1
             if has_resample:
-                x = UNetBlock(
+                x = _block(
+                    False,
                     in_channels=in_ch, out_channels=in_ch,
                     block_type=self.block_type,
                     skip_scale=self.skip_scale, dropout=self.dropout,
@@ -226,7 +243,8 @@ class DiffusionUNet(nn.Module):
                 skip = skips.pop()
                 skip_ch = skip_channels.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = UNetBlock(
+                x = _block(
+                    True,
                     in_channels=skip_ch
                     + (in_ch if b == 0 else channels[i]),
                     out_channels=channels[i],

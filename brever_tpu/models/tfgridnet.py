@@ -181,8 +181,12 @@ class _TFGridNetModule(nn.Module):
                     padding=((1, 1), (1, 1)), name='embed')(spec)
         h = nn.GroupNorm(num_groups=1, epsilon=self.eps,
                          name='embed_norm')(h)
+        # rematerialize each grid block: the BLSTM scans otherwise keep
+        # every gate activation alive for the backward pass (measured
+        # ~44 GB for batch 16 x 4 s without remat — over a v5e's HBM)
+        block_cls = nn.remat(_GridBlock)
         for i in range(self.n_layers):
-            h = _GridBlock(
+            h = block_cls(
                 emb_dim=self.emb_dim,
                 emb_ks=self.emb_ks,
                 emb_hs=self.emb_hs,

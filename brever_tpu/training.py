@@ -439,9 +439,20 @@ class BreverTrainer:
         enhanced = self.model.enhance(variables, inputs)
         if enhanced.ndim == 3:  # separation models: first source
             enhanced = enhanced[:, 0]
-        enhanced = np.asarray(enhanced)[:n_real]
-        targets = np.asarray(targets)[:n_real]
-        lengths_host = np.asarray(lengths)[:n_real]
+
+        def to_host(x):
+            # multi-host: metric scoring is per-process on the locally
+            # addressable shard (epoch means weight by n_real, so the
+            # global mean matches the reference's dist.reduce average)
+            if hasattr(x, 'is_fully_addressable') \
+                    and not x.is_fully_addressable:
+                from jax.experimental import multihost_utils
+                x = multihost_utils.process_allgather(x)
+            return np.asarray(x)
+
+        enhanced = to_host(enhanced)[:n_real]
+        targets = to_host(targets)[:n_real]
+        lengths_host = to_host(lengths)[:n_real]
         if lengths_host.ndim > 1:
             lengths_host = lengths_host[:, 0]
         out = {}

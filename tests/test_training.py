@@ -388,3 +388,34 @@ def test_golden_training_values(tmp_path, arch):
     np.testing.assert_allclose(
         got, np.array(GOLDEN_PARAMS[arch], dtype='float32'),
         rtol=1e-5, atol=1e-7)
+
+
+def test_dccrn_complex_batchnorm():
+    """Covariance-whitening complex BN: whitened outputs have identity
+    complex covariance per channel; running stats update in train."""
+    import jax.numpy as jnp
+    from brever_tpu.models.common import ComplexBatchNorm
+
+    rng = np.random.RandomState(0)
+    # correlated real/imag parts
+    re = rng.randn(8, 10, 12, 3).astype('float32') * 2 + 1
+    im = 0.5 * re + rng.randn(8, 10, 12, 3).astype('float32')
+    x = jnp.asarray(np.concatenate([re, im], axis=-1))
+
+    module = ComplexBatchNorm()
+    variables = module.init(jax.random.PRNGKey(0), x, train=False)
+    out, updates = module.apply(variables, x, train=True,
+                                mutable=['batch_stats'])
+    out = np.asarray(out)
+    out_re, out_im = out[..., :3], out[..., 3:]
+    for c in range(3):
+        r = out_re[..., c].ravel()
+        i = out_im[..., c].ravel()
+        np.testing.assert_allclose(r.mean(), 0, atol=1e-4)
+        np.testing.assert_allclose(i.mean(), 0, atol=1e-4)
+        np.testing.assert_allclose(r.var(), 1, atol=1e-2)
+        np.testing.assert_allclose(i.var(), 1, atol=1e-2)
+        np.testing.assert_allclose((r * i).mean(), 0, atol=1e-2)
+    # stats moved away from init
+    assert float(np.abs(np.asarray(
+        updates['batch_stats']['mean'])).sum()) > 0
