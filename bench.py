@@ -77,8 +77,11 @@ def bench_jax():
     def run_steps(state):
         return jax.lax.scan(train_step, state, None, length=n_steps)
 
-    state, losses = run_steps(state)   # compile + warmup
-    float(losses[-1])
+    # warm up to the jit-signature fixed point (weak-type churn in the
+    # carried state can recompile the first couple of calls)
+    for _ in range(3):
+        state, losses = run_steps(state)
+        float(losses[-1])
     t0 = time.perf_counter()
     state, losses = run_steps(state)
     float(losses[-1])                  # host fetch = sync fence

@@ -22,15 +22,19 @@ from brever_tpu.models.base import sample_weighted_mean  # noqa: E402
 
 BATCH, SECONDS, FS = 16, 4, 16000
 
-SMALL_KWARGS = {
-    # sgmsep at full batch 16x4s exceeds a single v5e's memory budget
-    # with the 7-level NCSN++; bench the published M variant instead
-    'sgmsepm': dict(),
+# memory-bound architectures run at a smaller batch on one 16 GB v5e
+# (the reference's dynamic batching would produce small batches for
+# them anyway); steps/s are reported at the actual batch used
+ARCH_BATCH = {
+    'tfgridnet': 4,
+    'sgmsepm': 4,
+    'dccrn': 16,
 }
 
 
 def bench_arch(arch, n_steps=10, use_bf16=True):
-    model = ModelRegistry.get(arch)(**SMALL_KWARGS.get(arch, {}))
+    model = ModelRegistry.get(arch)()
+    batch_size = ARCH_BATCH.get(arch, BATCH)
     variables = model.init_variables(jax.random.PRNGKey(0))
     aux = {k: v for k, v in variables.items() if k != 'params'}
     tx = model.optimizer()
@@ -47,8 +51,8 @@ def bench_arch(arch, n_steps=10, use_bf16=True):
     }
     rng = np.random.RandomState(0)
     batch = jnp.asarray(
-        rng.randn(BATCH, 2, 2, SECONDS * FS).astype('float32'))
-    lengths = jnp.full((BATCH,), SECONDS * FS, dtype=jnp.int32)
+        rng.randn(batch_size, 2, 2, SECONDS * FS).astype('float32'))
+    lengths = jnp.full((batch_size,), SECONDS * FS, dtype=jnp.int32)
 
     def cast(tree):
         return jax.tree.map(
@@ -79,15 +83,22 @@ def bench_arch(arch, n_steps=10, use_bf16=True):
     def run(state):
         return jax.lax.scan(train_step, state, None, length=n_steps)
 
-    t0 = time.perf_counter()
-    state, losses = run(state)
-    float(losses[-1])
-    compile_s = time.perf_counter() - t0
+    # warm up to the jit-signature fixed point: weak-type churn in the
+    # carried optimizer state can trigger recompiles on the first 2-3
+    # calls (measured: 3 distinct signatures before stabilizing)
+    compile_s = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, losses = run(state)
+        float(losses[-1])
+        compile_s += time.perf_counter() - t0
     t0 = time.perf_counter()
     state, losses = run(state)
     float(losses[-1])
     step_ms = (time.perf_counter() - t0) / n_steps * 1e3
-    print(f'{arch}: {step_ms:.1f} ms/step ({1e3 / step_ms:.2f} steps/s), '
+    print(f'{arch}: batch {batch_size}: {step_ms:.1f} ms/step '
+          f'({1e3 / step_ms:.2f} steps/s, '
+          f'{batch_size * SECONDS * 1e3 / step_ms:.0f} audio-s/s), '
           f'compile {compile_s:.0f} s')
     return step_ms
 

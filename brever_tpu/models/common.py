@@ -97,7 +97,8 @@ class ComplexBatchNorm(nn.Module):
             lambda: jnp.tile(jnp.eye(2)[:, :, None], (1, 1, n_channels)))
         weight = self.param(
             'weight',
-            lambda key: jnp.tile(jnp.array([[1.0], [0.0], [1.0]]),
+            lambda key: jnp.tile(
+                jnp.array([[1.0], [0.0], [1.0]], jnp.float32),
                                  (1, n_channels)))
         bias = self.param(
             'bias', nn.initializers.zeros, (2, n_channels))

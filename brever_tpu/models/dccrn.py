@@ -54,18 +54,25 @@ class _ComplexConv(nn.Module):
 
 
 class _ComplexLSTMLayer(nn.Module):
-    """Single complex LSTM layer: four real LSTM passes combined."""
+    """Single complex LSTM layer: four real LSTM passes combined.
+
+    The four passes share two weight sets (real-net, imag-net), so the
+    real and imaginary inputs are stacked into the batch axis and each
+    net runs ONE scan over 2B rows — half the sequential scan count of
+    the naive formulation (scans are the latency-bound part of this
+    model on TPU; the recurrent matmul just gets wider, which the MXU
+    absorbs)."""
 
     hidden_size: int
 
     @nn.compact
     def __call__(self, real, imag):
-        lstm_r = LSTM(self.hidden_size, name='real')
-        lstm_i = LSTM(self.hidden_size, name='imag')
-        rr = lstm_r(real)
-        ii = lstm_i(imag)
-        ri = lstm_r(imag)
-        ir = lstm_i(real)
+        batch = real.shape[0]
+        stacked = jnp.concatenate([real, imag], axis=0)  # (2B, T, F)
+        out_r = LSTM(self.hidden_size, name='real')(stacked)
+        out_i = LSTM(self.hidden_size, name='imag')(stacked)
+        rr, ri = out_r[:batch], out_r[batch:]
+        ir, ii = out_i[:batch], out_i[batch:]
         return rr - ii, ri + ir
 
 

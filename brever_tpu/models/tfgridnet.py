@@ -45,7 +45,9 @@ class _AllHeadPReLULayerNorm(nn.Module):
         x = x.reshape(batch, frames, freqs, self.n_head, self.emb)
         x = x.transpose(0, 3, 1, 2, 4)  # (B, H, T, F, E)
         alpha = self.param(
-            'alpha', lambda k: jnp.full((self.n_head, 1, 1, 1), 0.25))
+            'alpha',
+            lambda k: jnp.full((self.n_head, 1, 1, 1), 0.25,
+                               jnp.float32))
         x = jnp.where(x >= 0, x, alpha * x)
         gamma = self.param(
             'gamma', nn.initializers.ones,

@@ -194,7 +194,15 @@ class BreverTrainer:
         }
         if self.use_ema:
             state['ema'] = jax.tree.map(jnp.array, params)
-        return state
+        # canonicalize the WHOLE state to strong dtypes: weak-typed
+        # leaves (jnp.full without a dtype in a param init, the scalar
+        # lr stored by optax.inject_hyperparams, ...) flip their aval
+        # after the first update or LR change, silently recompiling
+        # the train step
+        state = jax.tree.map(
+            lambda x: x.astype(x.dtype) if hasattr(x, 'astype') else x,
+            state)
+        return self._commit_state(state)
 
     def build_steps(self):
         model = self.model
@@ -397,8 +405,11 @@ class BreverTrainer:
         step = self._train_step if train else self._val_step
         total = None
         count = 0
-        metric_totals = None
-        metric_count = 0
+        # per-key totals/counts: a metric can be skipped for some
+        # batches (e.g. STOI on signals shorter than 30 frames), so
+        # each key averages over the batches where it was computable
+        metric_totals = {}
+        metric_counts = {}
         for batch, lengths in dataloader:
             batch, lengths, n_real = self._pad_batch(batch, lengths)
             device_batch, device_lengths = self._to_device(batch, lengths)
@@ -413,18 +424,17 @@ class BreverTrainer:
             if not train and self.val_metrics:
                 batch_metrics = self.compute_metrics(
                     device_batch, device_lengths, n_real)
-                if batch_metrics:
-                    weighted = MathDict(
-                        {k: v * n_real for k, v in batch_metrics.items()})
-                    metric_totals = weighted if metric_totals is None \
-                        else metric_totals + weighted
-                    metric_count += n_real
+                for k, v in batch_metrics.items():
+                    metric_totals[k] = metric_totals.get(k, 0.0) \
+                        + v * n_real
+                    metric_counts[k] = metric_counts.get(k, 0) + n_real
         mean_loss = total / max(count, 1) if total is not None else 0.0
         if train:
             return mean_loss
         metrics = None
-        if metric_count:
-            metrics = dict(metric_totals / metric_count)
+        if metric_counts:
+            metrics = {k: metric_totals[k] / metric_counts[k]
+                       for k in metric_totals}
         return mean_loss, metrics
 
     def compute_metrics(self, batch, lengths, n_real):
@@ -497,6 +507,17 @@ class BreverTrainer:
         sharded = shard_batch((batch, lengths), self.mesh)
         return sharded
 
+    def _commit_state(self, state):
+        """Replicate the state onto the mesh up front. A host-built
+        (uncommitted) state and the mesh-sharded state returned by the
+        jitted step have different input types, so leaving the first
+        call uncommitted compiles every batch shape twice."""
+        sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec())
+        return jax.tree.map(
+            lambda x: jax.device_put(x, sharding)
+            if isinstance(x, jax.Array) else x, state)
+
     def _apply_hyper_update(self, update):
         """Apply a model-driven hyperparameter change (e.g. LR drop) by
         mutating the ``optax.inject_hyperparams`` state in place —
@@ -516,6 +537,9 @@ class BreverTrainer:
                     visit(child)
 
         visit(self.state['opt_state'])
+        # re-commit: the fresh scalars are host-built and would change
+        # the step's input sharding (-> recompile) if left uncommitted
+        self.state = self._commit_state(self.state)
         logging.info(f'Applied hyperparameter update: {update}')
 
     def _update_memory_stats(self):
@@ -565,7 +589,7 @@ class BreverTrainer:
         if self.use_ema:
             restored['ema'] = _restore_like(
                 self.state.get('ema'), state['ema'])
-        self.state = restored
+        self.state = self._commit_state(restored)
         if 'model_extra' in state:
             import json
             self.model.load_extra_state(json.loads(state['model_extra']))
