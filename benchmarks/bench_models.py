@@ -1,8 +1,11 @@
-"""Per-architecture TPU train-step benchmark (scan-amortized, bf16).
+"""Per-architecture TPU train-step benchmark: ms/step, FLOPs, MFU.
 
 Usage: python benchmarks/bench_models.py [arch ...]
-Prints ms/step and steps/s for each architecture at the standard
-workload (batch 16 x 4 s @ 16 kHz, full fwd+bwd+optimizer update).
+
+For each architecture at its real workload (batch x 4 s @ 16 kHz, full
+fwd+bwd+optimizer update, bf16 compute / fp32 master): scan-amortized
+step time, compiled-cost-analysis FLOPs per step, achieved TFLOP/s and
+MFU against the device's bf16 peak.
 """
 
 import os
@@ -31,19 +34,46 @@ ARCH_BATCH = {
     'dccrn': 16,
 }
 
+# dense bf16 peak FLOP/s per chip, by device_kind prefix
+PEAK_FLOPS = {
+    'TPU v6': 918e12,       # Trillium
+    'TPU v5p': 459e12,
+    'TPU v5 lite': 197e12,  # v5e
+    'TPU v5': 197e12,
+    'TPU v4': 275e12,
+    'TPU v3': 123e12,
+}
 
-def bench_arch(arch, n_steps=10, use_bf16=True):
-    model = ModelRegistry.get(arch)()
+
+def device_peak_flops():
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in PEAK_FLOPS.items():
+        if kind.startswith(prefix):
+            return peak, kind
+    return None, kind
+
+
+def _flops_of(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get('flops', 0.0)) if ca else 0.0
+
+
+def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
+    """Returns a result dict, or None for unsupported (multi-optimizer)
+    architectures."""
+    model = ModelRegistry.get(arch)(**(arch_kwargs or {}))
     batch_size = ARCH_BATCH.get(arch, BATCH)
     variables = model.init_variables(jax.random.PRNGKey(0))
     aux = {k: v for k, v in variables.items() if k != 'params'}
     tx = model.optimizer()
-    if model.grad_clip and not isinstance(tx, dict):
-        tx = optax.chain(optax.clip_by_global_norm(model.grad_clip), tx)
     if isinstance(tx, dict):
-        print(f'{arch}: skipped (multi-optimizer GAN; host scoring '
-              'between phases)')
+        print(f'# {arch}: skipped (multi-optimizer GAN; host metric '
+              'scoring between phases)', file=sys.stderr)
         return None
+    if model.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(model.grad_clip), tx)
     state = {
         'params': variables['params'],
         'opt_state': tx.init(variables['params']),
@@ -92,25 +122,69 @@ def bench_arch(arch, n_steps=10, use_bf16=True):
         state, losses = run(state)
         float(losses[-1])
         compile_s += time.perf_counter() - t0
+
+    # FLOPs from the compiled executable at the stabilized signature.
+    # Lower ONE step (not the scan: XLA's cost analysis counts a loop
+    # body once, not per trip).
+    try:
+        flops_per_step = _flops_of(
+            jax.jit(train_step).lower(state, None).compile())
+    except Exception as e:  # cost analysis unsupported on some backends
+        print(f'# {arch}: cost_analysis failed: {e}', file=sys.stderr)
+        flops_per_step = None
+
     t0 = time.perf_counter()
     state, losses = run(state)
-    float(losses[-1])
-    step_ms = (time.perf_counter() - t0) / n_steps * 1e3
-    print(f'{arch}: batch {batch_size}: {step_ms:.1f} ms/step '
-          f'({1e3 / step_ms:.2f} steps/s, '
-          f'{batch_size * SECONDS * 1e3 / step_ms:.0f} audio-s/s), '
-          f'compile {compile_s:.0f} s')
-    return step_ms
+    float(losses[-1])                   # host fetch = sync fence
+    step_s = (time.perf_counter() - t0) / n_steps
+
+    peak, kind = device_peak_flops()
+    result = {
+        'arch': arch,
+        'batch': batch_size,
+        'seconds_per_item': SECONDS,
+        'ms_per_step': round(step_s * 1e3, 2),
+        'steps_per_sec': round(1.0 / step_s, 3),
+        'audio_sec_per_sec': round(batch_size * SECONDS / step_s, 1),
+        'flops_per_step': flops_per_step,
+        'achieved_tflops': round(flops_per_step / step_s / 1e12, 2)
+        if flops_per_step else None,
+        'mfu': round(flops_per_step / step_s / peak, 4)
+        if flops_per_step and peak else None,
+        'device': kind,
+        'compile_s': round(compile_s, 1),
+    }
+    return result
+
+
+def bench_all(archs, **kwargs):
+    results = {}
+    for arch in archs:
+        try:
+            r = bench_arch(arch, **kwargs)
+        except Exception as e:
+            print(f'# {arch}: failed ({type(e).__name__}: {e})',
+                  file=sys.stderr)
+            r = None
+        if r is not None:
+            results[arch] = r
+    return results
+
+
+DEFAULT_ARCHS = ['convtasnet', 'dccrn', 'ffnn', 'tfgridnet', 'manner',
+                 'sgmsepm']
 
 
 def main():
-    archs = sys.argv[1:] or ['convtasnet', 'dccrn', 'ffnn', 'tfgridnet',
-                             'manner', 'sgmsepm']
-    for arch in archs:
-        try:
-            bench_arch(arch)
-        except Exception as e:
-            print(f'{arch}: failed ({type(e).__name__}: {e})')
+    archs = sys.argv[1:] or DEFAULT_ARCHS
+    for arch, r in bench_all(archs).items():
+        mfu = f"{r['mfu'] * 100:.1f}%" if r['mfu'] is not None else 'n/a'
+        tf = r['achieved_tflops']
+        print(f"{arch}: batch {r['batch']}: {r['ms_per_step']} ms/step "
+              f"({r['steps_per_sec']} steps/s, "
+              f"{r['audio_sec_per_sec']} audio-s/s), "
+              f"{tf if tf is not None else 'n/a'} TFLOP/s, MFU {mfu}, "
+              f"compile {r['compile_s']} s")
 
 
 if __name__ == '__main__':

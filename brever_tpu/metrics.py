@@ -7,15 +7,26 @@ brever/metrics.py:16-150). Differences forced by this environment:
   implemented here from the published algorithms (Taal et al., ICASSP
   2011; Jensen & Taal, TASLP 2016) with the standard constants
   (10 kHz, 256/512 frames, 15 one-third octave bands from 150 Hz,
-  384 ms segments, beta = -15 dB, 40 dB VAD range). Host-side numpy —
-  metrics run during validation off the device hot path.
-* ``pesq`` (ITU-T P.862 C library) is optional: the registry entry
-  exists for API parity and raises a clear error when the library is
-  missing.
+  384 ms segments, beta = -15 dB, 40 dB VAD range) and pystoi's exact
+  numerics: float64 eps, the Octave-compatible kaiser-window
+  resampler, frames laid out as ``range(0, len(x) - frame, hop)``
+  (the exactly-fitting final frame is dropped), and warn-and-return
+  1e-5 on signals with fewer than 30 frames after silence removal.
+  The one intentional difference: pystoi perturbs the ESTOI
+  normalization with eps-scaled random noise; we stay deterministic
+  (divergence bounded by ~1e-8). Host-side numpy — metrics run during
+  validation off the device hot path.
+* ``pesq`` (ITU-T P.862 C library) cannot be installed here, so PESQ
+  is scored by the in-repo implementation of P.862/P.862.2
+  (:mod:`brever_tpu.pesq`) with the reference's batched Pool
+  orchestration; see that module's docstring for documented
+  deviations from the canonical code.
 
 Contract: all metrics give identical results batched-padded vs
 per-item (lengths argument), like the reference.
 """
+
+import warnings
 
 import numpy as np
 import scipy.signal
@@ -25,7 +36,8 @@ from .registry import Registry
 
 MetricRegistry = Registry('metric')
 
-EPS = np.finfo(np.float32).eps
+# pystoi uses np.finfo("float").eps (float64) throughout
+EPS = np.finfo(np.float64).eps
 
 # STOI constants
 _STOI_FS = 10000
@@ -63,8 +75,37 @@ _OBM = _third_octave_bands(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
 _WIN = np.hanning(_STOI_FRAME + 2)[1:-1]
 
 
+def _resample_window_oct(p, q):
+    """Octave-compatible anti-aliasing window (pystoi's resampler)."""
+    gcd = np.gcd(int(p), int(q))
+    p, q = int(p) // gcd, int(q) // gcd
+    log10_rejection = -3.0
+    stopband_cutoff_f = 1.0 / (2 * max(p, q))
+    roll_off_width = stopband_cutoff_f / 10
+    rejection_db = -20 * log10_rejection
+    l = np.ceil(rejection_db / (22 * roll_off_width))
+    t = np.arange(-l, l + 1)
+    ideal_filter = 2 * p * stopband_cutoff_f * np.sinc(
+        2 * stopband_cutoff_f * t)
+    if 21 < rejection_db <= 50:
+        chi = (0.5842 * (rejection_db - 21) ** 0.4
+               + 0.07886 * (rejection_db - 21))
+    elif rejection_db > 50:
+        chi = 0.1102 * (rejection_db - 8.7)
+    else:
+        chi = 0.0
+    return np.kaiser(int(2 * l + 1), chi) * ideal_filter
+
+
+def _resample_oct(x, p, q):
+    h = _resample_window_oct(p, q)
+    return scipy.signal.resample_poly(x, p, q, window=h / np.sum(h))
+
+
 def _frame(x, frame_len, hop):
-    n_frames = max((len(x) - frame_len) // hop + 1, 0)
+    # pystoi frames with range(0, len(x) - frame_len, hop): a frame
+    # that fits exactly at the end is dropped — replicated for parity
+    n_frames = max(int(np.ceil((len(x) - frame_len) / hop)), 0)
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
     return x[idx]
 
@@ -82,11 +123,10 @@ def _remove_silent_frames(x, y, dyn_range, frame_len, hop):
     below its loudest frame, then re-synthesize both signals."""
     x_frames = _frame(x, frame_len, hop) * _WIN
     y_frames = _frame(y, frame_len, hop) * _WIN
+    if len(x_frames) == 0:
+        raise RuntimeError('signal is too short to frame for STOI')
     energies = 20 * np.log10(np.linalg.norm(x_frames, axis=1) + EPS)
     mask = energies > energies.max() - dyn_range
-    if not mask.any():
-        raise RuntimeError('all frames were classified as silent; cannot '
-                           'compute STOI')
     return _overlap_add(x_frames[mask], hop), \
         _overlap_add(y_frames[mask], hop)
 
@@ -113,8 +153,9 @@ def _stoi_single(deg, ref, fs, extended):
     if deg.shape != ref.shape:
         raise ValueError('signals must have the same shape')
     if fs != _STOI_FS:
-        deg = scipy.signal.resample_poly(deg, _STOI_FS, fs)
-        ref = scipy.signal.resample_poly(ref, _STOI_FS, fs)
+        # pystoi resamples with an Octave-compatible kaiser window
+        deg = _resample_oct(deg, _STOI_FS, fs)
+        ref = _resample_oct(ref, _STOI_FS, fs)
 
     ref, deg = _remove_silent_frames(
         ref, deg, _STOI_DYN_RANGE, _STOI_FRAME, _STOI_HOP
@@ -123,20 +164,30 @@ def _stoi_single(deg, ref, fs, extended):
     x_spec = _band_envelopes(ref)   # clean
     y_spec = _band_envelopes(deg)   # degraded
     if x_spec.shape[1] < _STOI_SEG:
-        raise RuntimeError(
-            f'signal too short for STOI: {x_spec.shape[1]} frames after '
-            f'silence removal, need at least {_STOI_SEG}'
+        # pystoi warns and returns 1e-5 instead of raising
+        warnings.warn(
+            f'not enough STFT frames for STOI: {x_spec.shape[1]} after '
+            f'silence removal, need at least {_STOI_SEG}; returning 1e-5'
         )
+        return 1e-5
 
     x_seg = _sliding_segments(x_spec, _STOI_SEG)  # (M, J, N)
     y_seg = _sliding_segments(y_spec, _STOI_SEG)
 
     if extended:
         def row_col_normalize(seg):
+            # pystoi additionally perturbs by EPS-scaled gaussian noise
+            # (~2e-16, below any meaningful tolerance); omitted so the
+            # metric stays deterministic
+            def safe_inv_norm(s, axis):
+                n2 = np.sum(s**2, axis=axis, keepdims=True)
+                return np.where(n2 > 0, 1.0 / np.sqrt(np.maximum(n2, EPS)),
+                                0.0)
+
             seg = seg - seg.mean(axis=2, keepdims=True)
-            seg = seg / (np.linalg.norm(seg, axis=2, keepdims=True) + EPS)
+            seg = seg * safe_inv_norm(seg, 2)
             seg = seg - seg.mean(axis=1, keepdims=True)
-            seg = seg / (np.linalg.norm(seg, axis=1, keepdims=True) + EPS)
+            seg = seg * safe_inv_norm(seg, 1)
             return seg
 
         x_n = row_col_normalize(x_seg)
@@ -193,28 +244,34 @@ def estoi(x, y, fs=16000, batched=True, lengths=None):
 @MetricRegistry.register('pesq')
 def pesq(x, y, fs=16000, mode='wb', normalized=False, batched=True,
          lengths=None):
-    """PESQ (ITU-T P.862) through the optional ``pesq`` C library.
+    """PESQ MOS-LQO (x = estimate, y = clean reference).
 
-    ``normalized=True`` maps raw MOS-LQO scores onto [0, 1] using the
-    published hard bounds (reference brever/metrics.py:71-93).
+    Scored by the in-repo ITU-T P.862/P.862.2 implementation
+    (:mod:`brever_tpu.pesq` — the canonical C extension the reference
+    binds, brever/metrics.py:47-99, is not installable here).
+    ``batched=True`` runs items through a multiprocessing Pool like the
+    reference's vendored ``pesq_batch`` (brever/metrics.py:153-213).
+    ``normalized=True`` maps MOS-LQO onto [0, 1] using the published
+    hard bounds (reference brever/metrics.py:71-93).
     """
-    try:
-        from pesq import pesq as pesq_fn
-    except ImportError as e:
-        raise RuntimeError(
-            "the 'pesq' library is not installed in this environment; "
-            "PESQ evaluation is unavailable (install ludlows/PESQ for "
-            "ITU-T P.862 scores)"
-        ) from e
+    from . import pesq as pesq_mod
 
     x, y, lengths = _to_numpy(x), _to_numpy(y), _to_numpy(lengths)
-    if x.ndim == 1:
-        out = pesq_fn(fs, y, x, mode=mode)
+    if batched:
+        out = np.array(pesq_mod.pesq_batch(fs, y, x, mode=mode,
+                                           lengths=lengths))
+        if x.ndim == 1:
+            out = out.item()
+    elif x.ndim == 1:
+        if lengths is not None:
+            raise ValueError('Non-batched pesq does not support lengths '
+                             'argument for 1D inputs.')
+        out = pesq_mod.pesq(fs, y, x, mode=mode)
     else:
         if lengths is None:
             lengths = [x.shape[-1]] * x.shape[0]
         out = np.array([
-            pesq_fn(fs, yi[:n], xi[:n], mode=mode)
+            pesq_mod.pesq(fs, yi[:n], xi[:n], mode=mode)
             for xi, yi, n in zip(x, y, lengths)
         ])
     if normalized:

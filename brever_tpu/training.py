@@ -43,6 +43,28 @@ except ImportError:
     wandb = None
 
 
+def _local_rows(x):
+    """This process's rows of a (possibly multi-host) batch array.
+
+    On single-host runs this is the whole array.  On multi-host runs
+    each process scores the rows it owns: we take the locally
+    addressable shards in global row order (deduplicated, since
+    replicated axes alias the same rows on several devices) instead of
+    a ``process_allgather`` — gathering the *global* array and slicing
+    it with the *local* row count would score other hosts' rows
+    (reference semantics: per-rank scores then mean over world,
+    brever/training.py:369-373).
+    """
+    if not hasattr(x, 'is_fully_addressable') or x.is_fully_addressable:
+        return np.asarray(x)
+    shards = {}
+    for shard in x.addressable_shards:
+        row_slice = shard.index[0] if shard.index else slice(None)
+        start = 0 if row_slice.start is None else row_slice.start
+        shards.setdefault(start, np.asarray(shard.data))
+    return np.concatenate([shards[k] for k in sorted(shards)], axis=0)
+
+
 class BreverTrainer:
     """Orchestrates training of a model family on a device mesh.
 
@@ -94,6 +116,13 @@ class BreverTrainer:
         self.preload = preload
         self.use_wandb = use_wandb and wandb is not None
         self.profile = profile
+        # fail loudly at construction on unknown/unavailable metrics
+        # instead of warning per validation batch
+        for name in sorted(val_metrics):
+            metric = MetricRegistry.get(name)
+            check = getattr(metric, 'check_available', None)
+            if check is not None:
+                check()
         self.val_metrics = val_metrics
         self.val_period = val_period
         self.save_on_epochs = save_on_epochs
@@ -450,19 +479,9 @@ class BreverTrainer:
         if enhanced.ndim == 3:  # separation models: first source
             enhanced = enhanced[:, 0]
 
-        def to_host(x):
-            # multi-host: metric scoring is per-process on the locally
-            # addressable shard (epoch means weight by n_real, so the
-            # global mean matches the reference's dist.reduce average)
-            if hasattr(x, 'is_fully_addressable') \
-                    and not x.is_fully_addressable:
-                from jax.experimental import multihost_utils
-                x = multihost_utils.process_allgather(x)
-            return np.asarray(x)
-
-        enhanced = to_host(enhanced)[:n_real]
-        targets = to_host(targets)[:n_real]
-        lengths_host = to_host(lengths)[:n_real]
+        enhanced = _local_rows(enhanced)[:n_real]
+        targets = _local_rows(targets)[:n_real]
+        lengths_host = _local_rows(lengths)[:n_real]
         if lengths_host.ndim > 1:
             lengths_host = lengths_host[:, 0]
         out = {}

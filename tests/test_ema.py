@@ -1,0 +1,136 @@
+"""Post-hoc EMA (Karras 2023) math contracts: gamma solving, profile
+inner products, and checkpoint-series reconstruction (reference
+brever/modules/ema.py:121-275)."""
+
+import numpy as np
+import pytest
+
+from brever_tpu.checkpoint import save_checkpoint
+from brever_tpu.ops.ema import EMA, EMAKarras, ema_update, post_hoc_ema
+
+
+def test_sigma_rel_to_gamma_closed_form():
+    """gamma solves sigma_rel^2 = (g+1) / ((g+2)^2 (g+3))."""
+    for sigma_rel in (0.05, 0.1, 0.2, 0.27):
+        g = EMAKarras.sigma_rel_to_gamma(sigma_rel)
+        lhs = sigma_rel**2
+        rhs = (g + 1) / ((g + 2) ** 2 * (g + 3))
+        np.testing.assert_allclose(lhs, rhs, rtol=1e-9)
+
+
+def test_p_dot_p_matches_quadrature():
+    """The closed-form profile inner product equals the integral of the
+    two normalized power profiles p(x) = (g+1) x^g / t^(g+1) on [0, t]."""
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        ta, tb = rng.uniform(10, 1000, 2)
+        ga, gb = rng.uniform(5, 30, 2)
+        x = np.linspace(0, min(ta, tb), 2_000_001)
+        pa = (ga + 1) * x**ga / ta ** (ga + 1)
+        pb = (gb + 1) * x**gb / tb ** (gb + 1)
+        numeric = np.trapezoid(pa * pb, x)
+        w = EMAKarras.solve_weights.__wrapped__ \
+            if hasattr(EMAKarras.solve_weights, '__wrapped__') else None
+        del w
+        # access the closed form through solve_weights' 1x1 system:
+        # solving <p_i, p_i> w = <p_i, p_r> with i == r gives w == 1,
+        # so probe the kernel directly instead
+        t_ratio = ta / tb
+        t_exp = gb if ta < tb else -ga
+        closed = ((ga + 1) * (gb + 1) * t_ratio**t_exp
+                  / ((ga + gb + 1) * max(ta, tb)))
+        np.testing.assert_allclose(closed, numeric, rtol=1e-5)
+
+
+def test_solve_weights_identity():
+    """Reconstructing a stored profile at its own (t, gamma) is a
+    one-hot combination."""
+    t_i = [100, 100, 200, 200]
+    gammas = [EMAKarras.sigma_rel_to_gamma(s) for s in (0.05, 0.1)]
+    gamma_i = gammas * 2
+    w = EMAKarras.solve_weights(t_i, gamma_i, [200], [gammas[1]])
+    np.testing.assert_allclose(
+        w[:, 0], [0.0, 0.0, 0.0, 1.0], atol=1e-6)
+
+
+def _run_series(sigma_rels, n_steps, snapshot_every, tmp_path):
+    """Train a scalar 'parameter' trajectory, snapshotting EMA state."""
+    rng = np.random.RandomState(0)
+    ema = EMAKarras(sigma_rels=list(sigma_rels))
+    xs = np.cumsum(rng.randn(n_steps)).astype('float64') * 0.1
+    state = ema.init({'w': np.zeros(())})
+    # re-do init with the first value like a real trainer would
+    state = ema.init({'w': np.float64(xs[0])})
+    ckpts = []
+    for t, x in enumerate(xs, start=1):
+        state = ema.update(state, {'w': np.float64(x)})
+        if t % snapshot_every == 0:
+            path = str(tmp_path / f'step{t:05d}.ckpt')
+            save_checkpoint(path, {'ema': {
+                'num_updates': int(state['num_updates']),
+                'ema_params': state['ema_params'],
+            }})
+            ckpts.append(path)
+    return ema, xs, state, ckpts
+
+
+def _exact_profile(xs, gamma, t):
+    """Brute-force power-function EMA: w_i = (i^(g+1)-(i-1)^(g+1))/t^(g+1)."""
+    i = np.arange(1, t + 1, dtype=np.float64)
+    w = (i ** (gamma + 1) - (i - 1) ** (gamma + 1)) / t ** (gamma + 1)
+    return float(np.sum(w * xs[:t]))
+
+
+def test_karras_update_matches_exact_weights():
+    """The recursive update beta_t = (1-1/t)^(g+1) realizes the exact
+    discrete power-function weights."""
+    rng = np.random.RandomState(1)
+    xs = rng.randn(50)
+    ema = EMAKarras(sigma_rels=[0.1])
+    state = ema.init({'w': np.float64(xs[0]) * 0.0})
+    for x in xs:
+        state = ema.update(state, {'w': np.float64(x)})
+    got = float(np.asarray(state['ema_params']['0.1']['w']))
+    want = _exact_profile(xs, ema.gammas[0.1], len(xs))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_post_hoc_ema_reconstruction(tmp_path):
+    """Reconstruct an unseen sigma_rel profile from a checkpoint series
+    and compare against the brute-force exact profile."""
+    sigma_rels = [0.05, 0.1]
+    ema, xs, state, ckpts = _run_series(
+        sigma_rels, n_steps=400, snapshot_every=50, tmp_path=tmp_path)
+
+    # (a) reconstructing a tracked profile at the last step is exact
+    got = ema.post_hoc_ema(ckpts, 0.1)
+    stored = float(np.asarray(state['ema_params']['0.1']['w']))
+    np.testing.assert_allclose(float(got['w']), stored, rtol=1e-9)
+
+    # (b) an intermediate target profile matches brute force closely
+    target = 0.075
+    got = ema.post_hoc_ema(ckpts, target)
+    gamma_r = EMAKarras.sigma_rel_to_gamma(target)
+    want = _exact_profile(xs, gamma_r, len(xs))
+    np.testing.assert_allclose(float(got['w']), want, rtol=2e-2)
+
+    # (c) directory input and list-of-targets round trip
+    got_list = post_hoc_ema(str(tmp_path), sigma_rels, [0.05, 0.1])
+    assert len(got_list) == 2
+    np.testing.assert_allclose(
+        float(got_list[1]['w']), stored, rtol=1e-9)
+
+
+def test_traditional_ema_update():
+    ema = EMA(beta=0.9)
+    state = ema.init({'w': np.float32(0.0)})
+    state = ema.update(state, {'w': np.float32(1.0)})
+    np.testing.assert_allclose(float(state['w']), 0.1, rtol=1e-6)
+    state = ema_update(state, {'w': np.float32(1.0)}, 0.9)
+    np.testing.assert_allclose(float(state['w']), 0.19, rtol=1e-6)
+
+
+def test_post_hoc_ema_input_validation(tmp_path):
+    ema = EMAKarras(sigma_rels=[0.05])
+    with pytest.raises(ValueError, match='no .ckpt file'):
+        ema.post_hoc_ema(str(tmp_path), 0.05)

@@ -82,25 +82,125 @@ def test_snr_metric_sign():
     assert sisnr(jnp.asarray(x), jnp.asarray(y)) > 20
 
 
-def test_pesq_registered_but_gated():
-    assert 'pesq' in MetricRegistry.keys()
-    x = np.zeros(16000, dtype='float32')
-    try:
-        import pesq  # noqa: F401
-        has_pesq = True
-    except ImportError:
-        has_pesq = False
-    if not has_pesq:
-        with pytest.raises(RuntimeError, match='pesq'):
-            MetricRegistry.get('pesq')(x, x)
-
-
 def test_metric_registry_keys():
     assert set(MetricRegistry.keys()) >= {
         'pesq', 'stoi', 'estoi', 'snr', 'sisnr'}
 
 
-def test_stoi_too_short_raises():
+def test_stoi_short_returns_sentinel():
+    """pystoi parity: <30 frames after silence removal warns + 1e-5."""
     x = _speech_like(0, 2000)
-    with pytest.raises(RuntimeError):
-        stoi(x, x, batched=False)
+    with pytest.warns(UserWarning, match='not enough STFT frames'):
+        assert stoi(x, x, batched=False) == 1e-5
+
+
+def _speech_noise(seed, n):
+    """Broadband speech-shaped noise with syllabic modulation."""
+    import scipy.signal
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n)
+    b, a = scipy.signal.butter(2, [100 / 8000, 4000 / 8000], 'bandpass')
+    x = scipy.signal.lfilter(b, a, x)
+    t = np.arange(n) / 16000
+    env = 0.4 + 0.6 * 0.5 * (1 + np.sin(2 * np.pi * 3 * t + rng.rand() * 6))
+    return (x * env).astype('float64')
+
+
+def test_pesq_identity_is_exact_maximum():
+    """Identical signals hit the published MOS-LQO hard bounds exactly
+    (the same values the canonical library produces:
+    reference brever/metrics.py:71-93)."""
+    from brever_tpu.pesq import pesq as pesq_fn
+    x = _speech_noise(0, 32000)
+    np.testing.assert_allclose(
+        pesq_fn(16000, x, x, 'wb'), 4.643888749336258, rtol=1e-12)
+    np.testing.assert_allclose(
+        pesq_fn(16000, x, x, 'nb'), 4.548638319075995, rtol=1e-12)
+
+
+def test_pesq_delay_invariance():
+    """A purely delayed copy is realigned and scores the maximum.
+
+    The signal fades to silence before the end so the tail samples a
+    global shift pushes out of the buffer carry no content.
+    """
+    from brever_tpu.pesq import pesq as pesq_fn
+    x = _speech_noise(1, 32000)
+    x[-2000:] = 0.0
+    d = np.concatenate([np.zeros(160), x[:-160]])
+    np.testing.assert_allclose(
+        pesq_fn(16000, x, d, 'wb'), 4.643888749336258, rtol=1e-9)
+
+
+def test_pesq_monotonic_with_noise():
+    from brever_tpu.pesq import pesq as pesq_fn
+    clean = _speech_noise(2, 32000)
+    rng = np.random.RandomState(3)
+    noise = rng.randn(len(clean))
+    scores = [pesq_fn(16000, clean, clean + s * noise, 'wb')
+              for s in (0.0, 0.1, 0.5, 2.0)]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+
+
+def test_pesq_batched_matches_per_item():
+    """Pool-batched path == per-item path, with lengths slicing
+    (reference contract: brever/tests/test_metrics.py)."""
+    pesq_metric = MetricRegistry.get('pesq')
+    rng = np.random.RandomState(4)
+    max_len = 32000
+    lengths = [32000, 28000, 21000]
+    clean = np.stack([_speech_noise(i, max_len) for i in range(3)])
+    noisy = clean + 0.2 * rng.randn(*clean.shape)
+    for i, n in enumerate(lengths):
+        clean[i, n:] = 0
+        noisy[i, n:] = 0
+    batched = pesq_metric(noisy, clean, lengths=lengths)
+    for i, n in enumerate(lengths):
+        single = pesq_metric(noisy[i, :n], clean[i, :n], batched=False)
+        np.testing.assert_allclose(batched[i], single, rtol=1e-9)
+
+
+def test_pesq_normalized_bounds():
+    pesq_metric = MetricRegistry.get('pesq')
+    x = _speech_noise(5, 32000)
+    noisy = x + 0.3 * np.random.RandomState(6).randn(len(x))
+    out = pesq_metric(noisy, x, normalized=True)
+    assert 0.0 <= out <= 1.0
+    assert pesq_metric(x, x, normalized=True) == pytest.approx(1.0)
+
+
+# Golden regression vectors, pinned from this repo's implementations
+# (the canonical pesq/pystoi libraries are not installable in this
+# environment; STOI/ESTOI follow pystoi's published numerics exactly —
+# see brever_tpu/metrics.py docstring — and PESQ's documented
+# deviations are in brever_tpu/pesq.py). Any unintended numeric drift
+# in the metric stack fails here.
+_GOLDEN = [
+    # (seed, n, noise_scale, stoi, estoi, pesq_wb, pesq_nb)
+    (0, 32000, 0.1, 0.990165329942, 0.970342674461,
+     4.378079280832, 4.472070175498),
+    (1, 24000, 0.3, 0.909939880491, 0.793009278170,
+     4.004775181792, 4.234610110435),
+    (2, 48000, 1.0, 0.438573727038, 0.271115824291,
+     3.058951915516, 3.566767057688),
+    (3, 20000, 0.05, 0.997236155952, 0.991340266939,
+     4.492664268119, 4.521139787816),
+    (4, 40000, 0.5, 0.783870676379, 0.578550635422,
+     3.557556222343, 3.858771790772),
+]
+
+
+@pytest.mark.parametrize('row', _GOLDEN, ids=[str(r[0]) for r in _GOLDEN])
+def test_metric_golden_values(row):
+    from brever_tpu.pesq import pesq as pesq_fn
+    seed, n, scale, g_stoi, g_estoi, g_wb, g_nb = row
+    clean = _speech_noise(seed, n)
+    noisy = clean + scale * np.random.RandomState(100 + seed).randn(n)
+    np.testing.assert_allclose(
+        stoi(noisy, clean, batched=False), g_stoi, rtol=1e-9)
+    np.testing.assert_allclose(
+        estoi(noisy, clean, batched=False), g_estoi, rtol=1e-9)
+    np.testing.assert_allclose(
+        pesq_fn(16000, clean, noisy, 'wb'), g_wb, rtol=1e-9)
+    np.testing.assert_allclose(
+        pesq_fn(16000, clean, noisy, 'nb'), g_nb, rtol=1e-9)

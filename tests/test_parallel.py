@@ -134,3 +134,52 @@ def test_distributed_batch_sampler_wrapper_single_process():
     flat1 = {tuple(b) for b in shards[1]}
     total = len(flat0 | flat1)
     assert total >= len(shards[0]) + len(shards[1]) - 1
+
+
+def test_local_rows_multihost_semantics():
+    """Regression for the multi-host metric-slicing bug: scoring must
+    use this process's own rows, not the head of the globally gathered
+    array (reference semantics: per-rank scores then mean over world,
+    brever/training.py:369-373)."""
+    from brever_tpu.training import _local_rows
+
+    class FakeShard:
+        def __init__(self, start, stop, data):
+            self.index = (slice(start, stop), slice(None))
+            self.data = data
+
+    class FakeGlobalArray:
+        # global batch of 8 rows over 2 processes; this process owns
+        # rows 4:8 (two shards, plus a replicated duplicate of 4:6)
+        is_fully_addressable = False
+
+        def __init__(self):
+            rows = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+            self.addressable_shards = [
+                FakeShard(6, 8, rows[6:8]),
+                FakeShard(4, 6, rows[4:6]),
+                FakeShard(4, 6, rows[4:6]),  # replica on another device
+            ]
+
+    out = _local_rows(FakeGlobalArray())
+    expected = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)[4:8]
+    np.testing.assert_array_equal(out, expected)
+
+    # fully addressable arrays pass through unchanged
+    x = np.ones((4, 2))
+    np.testing.assert_array_equal(_local_rows(x), x)
+    np.testing.assert_array_equal(
+        _local_rows(jnp.asarray(x)), x)
+
+
+def test_trainer_rejects_unknown_val_metric(tmp_path):
+    from brever_tpu.models import ModelRegistry
+    from brever_tpu.training import BreverTrainer
+
+    model = ModelRegistry.get('ffnn')(hidden_layers=[16], stacks=0)
+    ds = DummyDataset(n_items=4)
+    with pytest.raises(KeyError):
+        BreverTrainer(
+            model=model, train_dataset=ds, val_dataset=ds,
+            model_dirpath=str(tmp_path), epochs=1, device='cpu',
+            val_metrics={'nonexistent_metric'})

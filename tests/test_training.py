@@ -189,6 +189,39 @@ def test_dccrn_param_count():
     assert _shape_count(ModelRegistry.get('dccrn')()) == 3671053
 
 
+def test_dccrn_causal_latency():
+    """NaN-injection probe of ``DCCRN.latency`` (reference
+    tests/test_models.py:57-80 pattern; latency property at
+    reference dccrn.py:136-142)."""
+    model = ModelRegistry.get('dccrn')(
+        channels=[4, 8], lstm_channels=16, lstm_layers=1)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    n = 8192
+    onset = 4096
+    x = np.random.RandomState(0).randn(1, 2, n).astype('float32')
+    x[..., onset:] = np.nan
+    out = np.asarray(model.enhance(variables, jax.numpy.asarray(x)))
+    nan_idx = np.where(np.isnan(out[0]))[0]
+    assert len(nan_idx) > 0
+    assert nan_idx[0] >= onset - model.latency
+
+
+def test_tfgridnet_is_noncausal():
+    """TF-GridNet claims no latency (full-band attention + BLSTMs):
+    a NaN at any position must reach the first output sample, so no
+    latency contract could be honoured (reference leaves latency
+    unset for this model)."""
+    model = ModelRegistry.get('tfgridnet')(
+        n_layers=1, lstm_hidden_units=8, emb_dim=4, attn_n_head=1,
+        attn_approx_qk_dim=16)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    n = 4096
+    x = np.random.RandomState(0).randn(1, 2, n).astype('float32')
+    x[..., n - 256:] = np.nan
+    out = np.asarray(model.enhance(variables, jax.numpy.asarray(x)))
+    assert np.isnan(out[..., 0]).any()
+
+
 @pytest.mark.slow
 def test_dccrn_trains(tmp_path):
     model = ModelRegistry.get('dccrn')(
@@ -369,25 +402,142 @@ GOLDEN_PARAMS = {
         0.018995529040694237, 0.020519014447927475, 0.0553530752658844,
         0.015269199386239052,
     ],
+    'dccrn': [
+        0.00025679072, 0.0006672079,
+        2.171283e-05, -1.4974437e-05,
+        0.037376665, -0.021786327,
+        0.028836507, 0.037438635,
+        0.119980976, -0.004849142,
+    ],
+    'tfgridnet': [
+        0.006724699, -0.003471953,
+        0.32104734, 0.13064216,
+        0.5514639, -0.1808034,
+        0.38389516, -0.2112317,
+        0.14836894, -0.19995262,
+    ],
+    'sgmsepm': [
+        0.00017847121, -0.00041266135,
+        -0.00039568843, -0.00029905915,
+        0.00043954764, 0.0004372834,
+        -0.000582431, -0.0004623472,
+        0.00044390146, -0.00052509987,
+    ],
+    'idmse': [
+        -0.00073064107, 0.00064561155,
+        0.00045729635, 0.00070355687,
+        -1.7618702e-05, -0.00026483086,
+        0.00057041197, -0.00015581043,
+        -0.00011604638, 0.000589328,
+    ],
+    'metricganokd': [
+        -0.0007576325, -0.00076537736,
+        -0.0007696939, 0.0006674967,
+        -0.18472058, 0.24358179,
+        0.09807721, 0.1066913,
+        -0.15087542, -0.039078273,
+    ],
+    'manner': [
+        -0.29171228, -0.16947821,
+        0.17456634, -0.13765916,
+        -0.13137683, 0.27190772,
+        -0.24690759, -0.024175648,
+        -0.09094366, -0.16652028,
+    ],
 }
+
+_SGMSE_SMALL = dict(net_base_channels=16, net_channel_mult=[1, 2],
+                    net_num_blocks_per_res=1, solver_num_steps=2,
+                    net_attn_bottleneck=False, stft_frame_length=128,
+                    stft_hop_length=64)
 
 GOLDEN_KWARGS = {
     'ffnn': dict(hidden_layers=[64]),
     'convtasnet': dict(filters=64, filter_length=16,
                        bottleneck_channels=32, hidden_channels=64,
                        skip_channels=32, layers=2, repeats=2),
+    'dccrn': dict(channels=[4, 8], lstm_channels=16, lstm_layers=1),
+    'tfgridnet': dict(n_layers=1, lstm_hidden_units=16, emb_dim=8,
+                      attn_n_head=2, attn_approx_qk_dim=32),
+    'sgmsepm': dict(_SGMSE_SMALL),
+    'idmse': dict(_SGMSE_SMALL),
+    'metricganokd': dict(target_metrics=['stoi', 'estoi'],
+                         inference_metric='stoi',
+                         generator_lstm_hidden_size=16,
+                         generator_fc_channels=[16],
+                         discriminator_conv_channels=[4, 8],
+                         discriminator_fc_channels=[8]),
+    'manner': dict(),
 }
 
+GOLDEN_TRAINER_KWARGS = {
+    'sgmsepm': dict(ema=True),
+    'idmse': dict(ema=True),
+}
 
-@pytest.mark.parametrize('arch', sorted(GOLDEN_PARAMS))
-def test_golden_training_values(tmp_path, arch):
+_FAST_GOLDEN = sorted(set(GOLDEN_PARAMS) - {'manner'})
+
+
+def _run_golden(tmp_path, arch):
     model = ModelRegistry.get(arch)(**GOLDEN_KWARGS[arch])
-    trainer = make_trainer(tmp_path, model, epochs=2, batch_size=16)
+    trainer = make_trainer(tmp_path, model, epochs=2, batch_size=16,
+                           **GOLDEN_TRAINER_KWARGS.get(arch, {}))
     trainer.run()
     got = _flat_params(trainer.state)
     np.testing.assert_allclose(
         got, np.array(GOLDEN_PARAMS[arch], dtype='float32'),
         rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize('arch', _FAST_GOLDEN)
+def test_golden_training_values(tmp_path, arch):
+    _run_golden(tmp_path, arch)
+
+
+@pytest.mark.slow
+def test_golden_training_values_manner(tmp_path):
+    """MANNER exposes no size knobs (API parity with the reference's
+    bare __init__) so its golden pin trains the full 21M params."""
+    _run_golden(tmp_path, 'manner')
+
+
+def test_sgmse_forward_golden():
+    """Pinned complex U-Net outputs with every weight set to 1e-3
+    (mirrors reference tests/test_models.py:128-147: geometry AND
+    numerics of the diffusion net are frozen, not just param counts).
+    Buffers (Fourier embedding frequencies) come from the seeded init."""
+    import jax.numpy as jnp
+
+    model = ModelRegistry.get('sgmsepm')(
+        net_base_channels=16, net_channel_mult=[1, 2],
+        net_num_blocks_per_res=1, net_attn_bottleneck=False,
+        stft_frame_length=128, stft_hop_length=64)
+    variables = dict(model.init_variables(jax.random.PRNGKey(0)))
+    variables['params'] = jax.tree.map(
+        lambda a: jnp.full(a.shape, 1e-3, a.dtype), variables['params'])
+    rng = np.random.RandomState(0)
+    f, t = 64, 32
+    x = (rng.randn(1, 1, f, t) + 1j * rng.randn(1, 1, f, t)) * 0.1
+    y = (rng.randn(1, 1, f, t) + 1j * rng.randn(1, 1, f, t)) * 0.1
+    sigma = jnp.full((1, 1, 1, 1), 0.2)
+    tt = jnp.full((1, 1, 1, 1), 0.5)
+    d = model.model(variables, jnp.asarray(x), jnp.asarray(y), sigma, tt)
+    assert d.shape == (1, 1, f, t) and jnp.iscomplexobj(d)
+    flat = np.asarray(d).ravel()
+    idx = np.linspace(0, len(flat) - 1, 10).astype(int)
+    expected = np.array([
+        0.1763672 + -0.16965117j,
+        0.023179978 + 0.1011752j,
+        0.033852287 + 0.19022371j,
+        0.07550144 + 0.067225546j,
+        0.13286816 + 0.07951683j,
+        0.007782994 + -0.03261576j,
+        -0.12529746 + 0.094515756j,
+        0.024082271 + 0.0023833064j,
+        -0.08042316 + -0.13773997j,
+        0.12725733 + 0.24960366j,
+    ], dtype='complex64')
+    np.testing.assert_allclose(flat[idx], expected, rtol=2e-5, atol=1e-7)
 
 
 def test_dccrn_complex_batchnorm():
