@@ -48,7 +48,8 @@ def main():
         'archs': {
             a: {k: r[k] for k in ('batch', 'ms_per_step', 'steps_per_sec',
                                   'flops_per_step', 'achieved_tflops',
-                                  'mfu')}
+                                  'mfu', 'bytes_per_step', 'mxu_floor_ms',
+                                  'hbm_floor_ms', 'hbm_roofline_frac')}
             for a, r in results.items()
         },
     }))

@@ -44,6 +44,16 @@ PEAK_FLOPS = {
     'TPU v3': 123e12,
 }
 
+# HBM bandwidth per chip (bytes/s), for the roofline fields
+PEAK_HBM_BW = {
+    'TPU v6': 1640e9,
+    'TPU v5p': 2765e9,
+    'TPU v5 lite': 819e9,
+    'TPU v5': 819e9,
+    'TPU v4': 1228e9,
+    'TPU v3': 900e9,
+}
+
 
 def device_peak_flops():
     kind = jax.devices()[0].device_kind
@@ -53,11 +63,22 @@ def device_peak_flops():
     return None, kind
 
 
-def _flops_of(compiled):
+def device_peak_hbm_bw():
+    kind = jax.devices()[0].device_kind
+    for prefix, bw in PEAK_HBM_BW.items():
+        if kind.startswith(prefix):
+            return bw
+    return None
+
+
+def _costs_of(compiled):
     ca = compiled.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
-    return float(ca.get('flops', 0.0)) if ca else 0.0
+    if not ca:
+        return 0.0, 0.0
+    return (float(ca.get('flops', 0.0)),
+            float(ca.get('bytes accessed', 0.0)))
 
 
 def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
@@ -113,6 +134,18 @@ def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
     def run(state):
         return jax.lax.scan(train_step, state, None, length=n_steps)
 
+    # FLOPs from a compiled single step FIRST (not the scan: XLA's cost
+    # analysis counts a loop body once, not per trip). This must happen
+    # before the timed executable warms up: compiling another
+    # executable between warmup and timing de-prioritizes the cached
+    # one on the tunneled backend (measured: 88 -> 600 ms/step).
+    try:
+        flops_per_step, bytes_per_step = _costs_of(
+            jax.jit(train_step).lower(state, None).compile())
+    except Exception as e:  # cost analysis unsupported on some backends
+        print(f'# {arch}: cost_analysis failed: {e}', file=sys.stderr)
+        flops_per_step = bytes_per_step = None
+
     # warm up to the jit-signature fixed point: weak-type churn in the
     # carried optimizer state can trigger recompiles on the first 2-3
     # calls (measured: 3 distinct signatures before stabilizing)
@@ -123,22 +156,13 @@ def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
         float(losses[-1])
         compile_s += time.perf_counter() - t0
 
-    # FLOPs from the compiled executable at the stabilized signature.
-    # Lower ONE step (not the scan: XLA's cost analysis counts a loop
-    # body once, not per trip).
-    try:
-        flops_per_step = _flops_of(
-            jax.jit(train_step).lower(state, None).compile())
-    except Exception as e:  # cost analysis unsupported on some backends
-        print(f'# {arch}: cost_analysis failed: {e}', file=sys.stderr)
-        flops_per_step = None
-
     t0 = time.perf_counter()
     state, losses = run(state)
     float(losses[-1])                   # host fetch = sync fence
     step_s = (time.perf_counter() - t0) / n_steps
 
     peak, kind = device_peak_flops()
+    hbm_bw = device_peak_hbm_bw()
     result = {
         'arch': arch,
         'batch': batch_size,
@@ -151,6 +175,16 @@ def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
         if flops_per_step else None,
         'mfu': round(flops_per_step / step_s / peak, 4)
         if flops_per_step and peak else None,
+        'bytes_per_step': bytes_per_step,
+        # roofline: where the step would land if purely MXU- or purely
+        # HBM-bound; hbm_roofline_frac ~ 1 means bandwidth-saturated
+        'mxu_floor_ms': round(flops_per_step / peak * 1e3, 2)
+        if flops_per_step and peak else None,
+        'hbm_floor_ms': round(bytes_per_step / hbm_bw * 1e3, 2)
+        if bytes_per_step and hbm_bw else None,
+        'hbm_roofline_frac': round(
+            bytes_per_step / hbm_bw / step_s, 3)
+        if bytes_per_step and hbm_bw else None,
         'device': kind,
         'compile_s': round(compile_s, 1),
     }

@@ -1,12 +1,13 @@
 """Audio file IO: a dependency-free RIFF/WAV codec + optional FLAC.
 
-The reference stores datasets as FLAC via ``soundfile`` (libsndfile).
-That library is not available in this environment, so the native
-dataset format here is WAV (PCM16/PCM24/PCM32/FLOAT), implemented
-directly over numpy — it is also ~10x faster to encode than FLAC and
-the storage is dominated by tar-file granularity anyway. FLAC reading/
-writing is used transparently when ``soundfile`` is importable, so
-reference-created datasets remain loadable.
+The reference stores datasets as FLAC via ``soundfile`` (libsndfile,
+reference scripts/create_dataset.py:56-73). That library is not
+available in this environment, so both formats are implemented
+directly over numpy: a RIFF/WAV codec (PCM16/PCM24/PCM32/FLOAT) and a
+FLAC codec (:mod:`brever_tpu.flac` — full decoder, 16-bit encoder), so
+reference-created FLAC datasets load without any third-party
+dependency and datasets created here can be written as FLAC like the
+reference's. ``soundfile`` is still preferred when importable.
 """
 
 import io
@@ -181,9 +182,11 @@ def read_audio(file, name=None, always_2d=False):
     if _sf is not None:
         data, fs = _sf.read(file, dtype='float32', always_2d=always_2d)
         return data, fs
+    if ext == '.flac':
+        return read_flac(file, always_2d=always_2d)
     raise RuntimeError(
-        f"cannot read '{ext}' audio: the soundfile library is not "
-        "installed; use .wav datasets in this environment"
+        f"cannot read '{ext}' audio: only .wav and .flac are supported "
+        "without the soundfile library"
     )
 
 
@@ -195,9 +198,12 @@ def write_audio(file, data, samplerate, name=None, subtype=None):
     if _sf is not None:
         _sf.write(file, data, samplerate)
         return
+    if ext == '.flac':
+        write_flac(file, data, samplerate)
+        return
     raise RuntimeError(
-        f"cannot write '{ext}' audio: the soundfile library is not "
-        "installed; use .wav datasets in this environment"
+        f"cannot write '{ext}' audio: only .wav and .flac are supported "
+        "without the soundfile library"
     )
 
 
@@ -208,10 +214,57 @@ def audio_info(file, name=None):
     if _sf is not None:
         info = _sf.info(file)
         return AudioInfo(info.frames, info.channels, info.samplerate)
+    if ext == '.flac':
+        return flac_info(file)
     raise RuntimeError(
-        f"cannot inspect '{ext}' audio: the soundfile library is not "
-        "installed; use .wav datasets in this environment"
+        f"cannot inspect '{ext}' audio: only .wav and .flac are "
+        "supported without the soundfile library"
     )
+
+
+def read_flac(file, always_2d=False):
+    """Decode a FLAC file to float32 in [-1, 1) (soundfile semantics)."""
+    from . import flac
+    if isinstance(file, (str, os.PathLike)):
+        with open(file, 'rb') as f:
+            buf = f.read()
+    else:
+        buf = file.read()
+    samples, info = flac.decode(buf)
+    scale = float(1 << (info['bps'] - 1))
+    data = samples.astype(np.float32) / scale
+    if data.shape[1] == 1 and not always_2d:
+        data = data[:, 0]
+    return data, info['sample_rate']
+
+
+def write_flac(file, data, samplerate):
+    """Encode float or int16 samples as a 16-bit FLAC file."""
+    from . import flac
+    data = np.asarray(data)
+    if data.dtype.kind == 'f':
+        data = np.clip(np.round(data * 32768.0), -32768, 32767) \
+            .astype(np.int16)
+    buf = flac.encode(data, int(samplerate))
+    if isinstance(file, (str, os.PathLike)):
+        with open(file, 'wb') as f:
+            f.write(buf)
+    else:
+        file.write(buf)
+
+
+def flac_info(file):
+    from . import flac
+    if isinstance(file, (str, os.PathLike)):
+        with open(file, 'rb') as f:
+            buf = f.read(64 * 1024)
+    else:
+        pos = file.tell()
+        buf = file.read(64 * 1024)
+        file.seek(pos)
+    info, _ = flac.parse_header(buf)
+    return AudioInfo(info['total_samples'], info['channels'],
+                     info['sample_rate'])
 
 
 def _extension(file, name):

@@ -361,7 +361,7 @@ class BreverDataLoader:
             and getattr(ds, 'transform', None) is None
             and getattr(ds, 'preloaded_data', None) is None
             and getattr(ds, 'rmm_dset', None) is None
-            and getattr(ds, '_ext', '.wav') in (None, '.wav')
+            and getattr(ds, '_ext', '.wav') in (None, '.wav', '.flac')
             and getattr(ds, 'segment_strategy', 'pass') != 'random'
             and native_lib.available()
         )
@@ -439,10 +439,12 @@ class RandomMixtureMakerDataset:
     ``device=True`` enables the batched on-device synthesis path
     (:mod:`brever_tpu.mixture.device`): the host only rolls metadata
     and loads raw material, the convolutions/gains run jitted on the
-    accelerator (~14x a CPU core on a v5e). The device path supports
-    the target + directional-noise + decay scene family (no diffuse
-    noise / ndr / tmr) and is not bit-compatible with the numpy path
-    (device PRNG for noise/decay draws).
+    accelerator (~14x a CPU core on a v5e). The device path covers the
+    full scene family (directional + diffuse noise, decay, ndr/snr/tmr
+    gains, LTAS EQ) and keeps the synthesized batch on device — the
+    trainer pads/shards it without a host round trip. It is not
+    bit-compatible with the numpy path (device PRNG for noise/decay
+    draws).
     """
 
     def __init__(self, path, sources, size, device=False):
@@ -452,11 +454,6 @@ class RandomMixtureMakerDataset:
         self.device = device
         with open(os.path.join(path, 'config.yaml')) as f:
             self.cfg = yaml.load(f, Loader=yaml.Loader)['rmm']
-        if device and (self.cfg.get('diffuse') or self.cfg.get(
-                'uniform_tmr')):
-            raise ValueError(
-                'device dynamic mixing does not support diffuse noise '
-                'or uniform_tmr scenes')
         from .mixture import RandomMixtureMaker
         self.rmm = RandomMixtureMaker(**self.cfg)
         self.set_epoch(0)
@@ -473,11 +470,19 @@ class RandomMixtureMakerDataset:
         from .mixture.dsp import colored_noise
         import re as _re
 
+        from .mixture.dsp import NOISE_COLORS
+
         loader = self.rmm.loader
         fs = self.cfg.get('fs', 16000)
         use_decay = bool(self.cfg.get('decay', False))
+        use_diffuse = bool(self.cfg.get('diffuse', False))
+        use_ltas = use_diffuse and bool(
+            self.cfg.get('diffuse_ltas_eq', False))
+        use_tmr = bool(self.cfg.get('uniform_tmr', False))
         scenes = []
         max_brir = 1
+        max_diffuse = 0
+        any_snr = any_ndr = False
         for i in indices:
             meta = self._metadatas[i]
             speech = loader.load_file(meta['target']['file'])
@@ -507,14 +512,27 @@ class RandomMixtureMakerDataset:
                 'snr': meta.get('snr', 0.0),
                 'rms_jitter': meta.get('rms_jitter', 0.0),
             }
+            any_snr = any_snr or 'snr' in meta
             if use_decay:
                 d = meta['decay']
-                from .mixture.dsp import NOISE_COLORS
                 scene['decay'] = (d['rt60'], d['drr'], d['delay'],
                                   float(NOISE_COLORS[d['color']]))
                 max_brir = max(
                     max_brir,
                     int(round(2 * (d['rt60'] + d['delay']) * fs)))
+            if use_diffuse and 'diffuse' in meta:
+                room_brirs, _ = loader.load_brirs(meta['room'])
+                scene['diffuse_brirs'] = room_brirs
+                scene['diffuse_color_alpha'] = float(
+                    NOISE_COLORS[meta['diffuse']['color']])
+                max_diffuse = max(max_diffuse, len(room_brirs))
+                max_brir = max(
+                    max_brir, max(len(b) for b in room_brirs))
+            if 'ndr' in meta:
+                scene['ndr'] = meta['ndr']
+                any_ndr = True
+            if use_tmr:
+                scene['tmr'] = meta['tmr']
             scenes.append(scene)
 
         max_samples = max(len(s['speech']) for s in scenes)
@@ -525,23 +543,35 @@ class RandomMixtureMakerDataset:
         max_brir = -(-max_brir // 4096) * 4096
         max_noises = max(
             (len(s['noises']) for s in scenes), default=0) or 1
-        packed = pack_scenes(scenes, max_samples, max_brir, max_noises)
+        packed = pack_scenes(scenes, max_samples, max_brir, max_noises,
+                             max_diffuse=max_diffuse)
+        ltas = None
+        if use_ltas and self.rmm.ltas is not None:
+            ltas = jnp.asarray(self.rmm.ltas, jnp.float32)
         key = jax.random.fold_in(
             jax.random.PRNGKey(self._epoch), int(indices[0]))
         out = synthesize_batch(
             key, **{k: jnp.asarray(v) for k, v in packed.items()},
+            ltas=ltas,
             fs=fs,
             reflection_boundary=self.cfg.get('reflection_boundary', 0.05),
             pad=round(self.cfg.get('padding', 0.0) * fs),
             use_decay=use_decay,
+            use_diffuse=use_diffuse and max_diffuse > 0,
+            use_ltas=use_ltas and ltas is not None,
+            use_ndr=any_ndr,
+            use_tmr=use_tmr,
+            use_snr=any_snr,
         )
-        # (B, samples, 2) components -> (B, n_sources, 2, samples)
+        # (B, samples, 2) components -> (B, n_sources, 2, samples).
+        # Stays a device array: the trainer pads/shards it without a
+        # host round trip.
         batch = jnp.stack(
             [jnp.moveaxis(out[source], -1, -2) for source in self.sources],
             axis=1)
         lengths = np.array(
             [len(s['speech']) for s in scenes], np.int32)
-        return np.asarray(batch), lengths
+        return batch, lengths
 
     def set_epoch(self, epoch):
         from .mixture import MixtureMetadata

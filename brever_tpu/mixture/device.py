@@ -121,19 +121,64 @@ def _masked_energy(x, length, start=0):
     return jnp.sum((x.mean(axis=-1) * mask)**2)
 
 
+def match_ltas(x, ltas, n_fft=512, hop_length=256):
+    """STFT-domain EQ of ``x`` (samples, 2) to a target long-term
+    average spectrum (traced version of dsp.match_ltas: same EQ math,
+    plain Hann framing instead of scipy's boundary extension)."""
+    n = x.shape[0]
+    window = 0.5 * (1.0 - jnp.cos(
+        2.0 * jnp.pi * jnp.arange(n_fft) / n_fft))
+    pad_x = jnp.pad(x, ((n_fft // 2, n_fft), (0, 0)))
+    n_frames = (pad_x.shape[0] - n_fft) // hop_length + 1
+    idx = (jnp.arange(n_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :])
+    frames = pad_x[idx] * window[None, :, None]       # (T, n_fft, 2)
+    spec = jnp.fft.rfft(frames, axis=1)               # (T, F, 2)
+    # scipy.signal.stft scales by 1/win.sum(); the target ltas (from
+    # calc_ltas / dsp.match_ltas) lives in those units
+    current = jnp.mean(jnp.abs(spec)**2, axis=(0, 2)) \
+        / jnp.sum(window)**2
+    eq = jnp.sqrt(ltas / jnp.maximum(current, eps))
+    spec = spec * eq[None, :, None]
+    frames = jnp.fft.irfft(spec, n_fft, axis=1) * window[None, :, None]
+    # overlap-add with window-square normalization
+    out = jnp.zeros_like(pad_x)
+    norm = jnp.zeros((pad_x.shape[0],))
+    out = out.at[idx].add(frames)
+    norm = norm.at[idx].add(window[None, :]**2)
+    out = out / jnp.maximum(norm, eps)[:, None]
+    return out[n_fft // 2:n_fft // 2 + n]
+
+
 def synthesize_scene(rng, speech, speech_length, target_brir,
                      target_brir_length, noises, noise_brirs,
                      noise_brir_lengths, noise_mask, snr, rms_jitter,
                      decay_params=None, fs=16000,
-                     reflection_boundary=0.05, pad=0):
+                     reflection_boundary=0.05, pad=0,
+                     diffuse_brirs=None, diffuse_brir_lengths=None,
+                     diffuse_mask=None, diffuse_color_alpha=None,
+                     ltas=None, ndr=None, tmr=None, use_snr=True):
     """One scene: returns dict with mixture/foreground/background/....
 
     Shapes (all static): speech (n,), target_brir (m, 2), noises
     (k, n), noise_brirs (k, m, 2); ``noise_mask`` (k,) selects active
     noises; lengths mask zero padding. ``decay_params`` is an optional
     (rt60, drr, delay, color_alpha) tuple of traced scalars.
+
+    Optional scene features (reference maker.py:112-124 order:
+    diffuse -> ndr -> snr -> tmr -> rms):
+
+    * diffuse field: one colored noise per room BRIR (``diffuse_brirs``
+      (k2, m, 2) + ``diffuse_mask``), optionally EQ'd to ``ltas``;
+    * ``ndr``: directional-to-diffuse ratio (scales the diffuse field);
+    * ``snr``: foreground/background ratio over the speech-active
+      region, realized by scaling the noise components only (reference
+      dsp semantics);
+    * ``tmr``: target-to-masker energy ratio in [0, 1], scaling the
+      whole background (late speech + noises); applied instead of snr
+      when the dataset rolls uniform tmr.
     """
-    rng_decay, rng_noise_decay = jax.random.split(rng)
+    rng_decay, rng_noise_decay, rng_diffuse = jax.random.split(rng, 3)
 
     brir = target_brir
     if decay_params is not None:
@@ -166,76 +211,149 @@ def synthesize_scene(rng, speech, speech_length, target_brir,
     dir_noise = (spatialized * noise_mask[:, None, None]).sum(axis=0)
     has_noise = noise_mask.sum() > 0
 
-    # target SNR over the speech active region: like the reference,
-    # only the noise components are scaled so that
-    # e_fg / (e_late + g^2 e_noise) hits the target
+    # diffuse field: one colored noise per room BRIR, summed
+    use_diffuse = diffuse_brirs is not None
+    if use_diffuse:
+        keys = jax.random.split(rng_diffuse, diffuse_brirs.shape[0])
+        diff_noises = jax.vmap(
+            lambda k: colored_noise(k, diffuse_color_alpha, n_out))(keys)
+        diff_spat = jax.vmap(lambda x, b: spatialize(x, b, n_out))(
+            diff_noises, diffuse_brirs)
+        diffuse = (diff_spat * diffuse_mask[:, None, None]).sum(axis=0)
+        if ltas is not None:
+            diffuse = match_ltas(diffuse, ltas)
+        has_diffuse = diffuse_mask.sum() > 0
+    else:
+        diffuse = jnp.zeros_like(dir_noise)
+        has_diffuse = False
+
+    # ndr: directional-to-diffuse ratio (reference dsp.Mixture.set_ndr
+    # = adjust_snr(dir_noise, diffuse, ndr) over the full signal)
+    if use_diffuse and ndr is not None:
+        e_dir = _masked_energy(dir_noise, n_out)
+        e_diff = _masked_energy(diffuse, n_out)
+        g = jnp.sqrt(10**(-ndr / 10) * e_dir
+                     / jnp.maximum(e_diff, eps))
+        diffuse = jnp.where(has_noise & has_diffuse, g * diffuse,
+                            diffuse)
+
+    noise = dir_noise + diffuse
     speech_start = pad
     speech_end = pad + speech_length
-    e_fg = _masked_energy(early, speech_end, speech_start)
-    e_late = _masked_energy(late, speech_end, speech_start)
-    e_noise = _masked_energy(dir_noise, speech_end, speech_start)
-    target_bg = e_fg * 10**(-snr / 10)
-    gain = jnp.sqrt(jnp.maximum(target_bg - e_late, 0.0)
-                    / (e_noise + eps))
-    dir_noise = jnp.where(has_noise, gain * dir_noise, dir_noise)
 
-    mixture = early + late + dir_noise
+    # target SNR over the speech active region: gain from fg/bg ratio,
+    # applied to the noise components only (reference set_snr)
+    if use_snr:
+        e_fg = _masked_energy(early, speech_end, speech_start)
+        e_bg = _masked_energy(late + noise, speech_end, speech_start)
+        g = jnp.sqrt(10**(-snr / 10) * e_fg / jnp.maximum(e_bg, eps))
+        apply = has_noise | has_diffuse
+        dir_noise = jnp.where(apply, g * dir_noise, dir_noise)
+        diffuse = jnp.where(apply, g * diffuse, diffuse)
+        noise = dir_noise + diffuse
+
+    # tmr: fg/(fg+bg) energy ratio over the full signal, realized by
+    # scaling the whole background incl. late speech (reference
+    # set_tmr + scale_background)
+    if tmr is not None:
+        e_fg_full = _masked_energy(early, n_out)
+        e_bg_full = _masked_energy(late + noise, n_out)
+        g = jnp.sqrt(e_fg_full * (1.0 / jnp.maximum(tmr, eps) - 1.0)
+                     / jnp.maximum(e_bg_full, eps))
+        late, dir_noise, diffuse = g * late, g * dir_noise, g * diffuse
+        noise = dir_noise + diffuse
+
+    mixture = early + late + noise
 
     # RMS jitter: reference does set_rms(get_rms() + jitter), i.e. a
     # plain 10^(jitter/20) gain on everything
     rms = jnp.sqrt(jnp.mean(mixture**2, axis=0)).max()
     rms_db = 20 * jnp.log10(rms + eps) + rms_jitter
     gain = 10**(rms_db / 20) / (rms + eps)
-    early, late, dir_noise = gain * early, gain * late, gain * dir_noise
-    mixture = early + late + dir_noise
+    early, late, noise = gain * early, gain * late, gain * noise
+    mixture = early + late + noise
 
     return {
         'mixture': mixture,
         'foreground': early,
-        'background': late + dir_noise,
+        'background': late + noise,
         'speech': early + late,
-        'noise': dir_noise,
+        'noise': noise,
     }
 
 
 @partial(jax.jit, static_argnames=('fs', 'reflection_boundary', 'pad',
-                                   'use_decay'))
+                                   'use_decay', 'use_diffuse',
+                                   'use_ltas', 'use_ndr', 'use_tmr',
+                                   'use_snr'))
 def synthesize_batch(rng, speech, speech_lengths, target_brirs,
                      target_brir_lengths, noises, noise_brirs,
                      noise_brir_lengths, noise_masks, snrs, rms_jitters,
                      decay_rt60=None, decay_drr=None, decay_delay=None,
-                     decay_color_alpha=None, fs=16000,
-                     reflection_boundary=0.05, pad=0, use_decay=False):
+                     decay_color_alpha=None,
+                     diffuse_brirs=None, diffuse_brir_lengths=None,
+                     diffuse_masks=None, diffuse_color_alpha=None,
+                     ltas=None, ndrs=None, tmrs=None, fs=16000,
+                     reflection_boundary=0.05, pad=0, use_decay=False,
+                     use_diffuse=False, use_ltas=False, use_ndr=False,
+                     use_tmr=False, use_snr=True):
     """Batched scene synthesis; every argument carries a leading batch
-    axis. Returns a dict of (batch, samples, 2) arrays."""
-    keys = jax.random.split(rng, speech.shape[0])
+    axis (``ltas`` is shared: (n_fft//2+1,)). Returns a dict of
+    (batch, samples, 2) arrays."""
+    batch = speech.shape[0]
+    keys = jax.random.split(rng, batch)
+    zeros = jnp.zeros(batch)
+
+    if not use_decay:
+        decay_rt60 = decay_drr = decay_delay = decay_color_alpha = zeros
+    if not use_diffuse:
+        diffuse_brirs = jnp.zeros(
+            (batch, 1) + target_brirs.shape[1:], target_brirs.dtype)
+        diffuse_brir_lengths = jnp.ones((batch, 1), jnp.int32)
+        diffuse_masks = jnp.zeros((batch, 1))
+        diffuse_color_alpha = zeros
+    if ndrs is None or not use_ndr:
+        ndrs = zeros
+    if tmrs is None or not use_tmr:
+        tmrs = zeros
 
     def one(key, sp, sp_len, tb, tb_len, nz, nb, nb_len, nm, snr, rj,
-            rt60, drr, delay, alpha):
+            rt60, drr, delay, alpha, db, db_len, dm, d_alpha, ndr, tmr):
         decay_params = (rt60, drr, delay, alpha) if use_decay else None
         return synthesize_scene(
             key, sp, sp_len, tb, tb_len, nz, nb, nb_len, nm, snr, rj,
             decay_params=decay_params, fs=fs,
-            reflection_boundary=reflection_boundary, pad=pad)
+            reflection_boundary=reflection_boundary, pad=pad,
+            diffuse_brirs=db if use_diffuse else None,
+            diffuse_brir_lengths=db_len if use_diffuse else None,
+            diffuse_mask=dm if use_diffuse else None,
+            diffuse_color_alpha=d_alpha if use_diffuse else None,
+            ltas=ltas if (use_diffuse and use_ltas) else None,
+            ndr=ndr if use_ndr else None,
+            tmr=tmr if use_tmr else None,
+            use_snr=use_snr)
 
-    if not use_decay:
-        zeros = jnp.zeros(speech.shape[0])
-        decay_rt60 = decay_drr = decay_delay = decay_color_alpha = zeros
+    return jax.vmap(
+        one,
+        in_axes=(0,) * 21,
+    )(keys, speech, speech_lengths, target_brirs, target_brir_lengths,
+      noises, noise_brirs, noise_brir_lengths, noise_masks, snrs,
+      rms_jitters, decay_rt60, decay_drr, decay_delay,
+      decay_color_alpha, diffuse_brirs, diffuse_brir_lengths,
+      diffuse_masks, diffuse_color_alpha, ndrs, tmrs)
 
-    return jax.vmap(one)(
-        keys, speech, speech_lengths, target_brirs, target_brir_lengths,
-        noises, noise_brirs, noise_brir_lengths, noise_masks, snrs,
-        rms_jitters, decay_rt60, decay_drr, decay_delay,
-        decay_color_alpha)
 
-
-def pack_scenes(scenes, max_samples, max_brir, max_noises):
+def pack_scenes(scenes, max_samples, max_brir, max_noises,
+                max_diffuse=0):
     """Host helper: pad a list of scene dicts into the static arrays
     ``synthesize_batch`` consumes.
 
     Each scene: {'speech': (n,), 'target_brir': (m, 2),
     'noises': [(n_i,)...], 'noise_brirs': [(m_i, 2)...], 'snr': float,
-    'rms_jitter': float, optional 'decay': (rt60, drr, delay, alpha)}.
+    'rms_jitter': float, optional 'decay': (rt60, drr, delay, alpha),
+    optional 'diffuse_brirs': [(m_i, 2)...] (+ 'diffuse_color_alpha'),
+    optional 'ndr'/'tmr' floats}. ``max_diffuse`` > 0 adds the diffuse
+    arrays.
     """
     batch = len(scenes)
     speech = np.zeros((batch, max_samples), np.float32)
@@ -249,6 +367,14 @@ def pack_scenes(scenes, max_samples, max_brir, max_noises):
     snrs = np.zeros(batch, np.float32)
     rms_jitters = np.zeros(batch, np.float32)
     decay = np.zeros((batch, 4), np.float32)
+    if max_diffuse:
+        diffuse_brirs = np.zeros(
+            (batch, max_diffuse, max_brir, 2), np.float32)
+        diffuse_brir_lengths = np.ones((batch, max_diffuse), np.int32)
+        diffuse_masks = np.zeros((batch, max_diffuse), np.float32)
+        diffuse_color_alpha = np.zeros(batch, np.float32)
+    ndrs = np.zeros(batch, np.float32)
+    tmrs = np.full(batch, 0.5, np.float32)
 
     for i, scene in enumerate(scenes):
         n = len(scene['speech'])
@@ -270,8 +396,19 @@ def pack_scenes(scenes, max_samples, max_brir, max_noises):
         rms_jitters[i] = scene.get('rms_jitter', 0.0)
         if 'decay' in scene:
             decay[i] = scene['decay']
+        ndrs[i] = scene.get('ndr', 0.0)
+        tmrs[i] = scene.get('tmr', 0.5)
+        if max_diffuse:
+            for j, brir in enumerate(
+                    scene.get('diffuse_brirs', [])[:max_diffuse]):
+                mb = len(brir)
+                diffuse_brirs[i, j, :mb] = brir
+                diffuse_brir_lengths[i, j] = mb
+                diffuse_masks[i, j] = 1.0
+            diffuse_color_alpha[i] = scene.get('diffuse_color_alpha',
+                                               0.0)
 
-    return dict(
+    out = dict(
         speech=speech, speech_lengths=speech_lengths,
         target_brirs=target_brirs,
         target_brir_lengths=target_brir_lengths,
@@ -280,4 +417,13 @@ def pack_scenes(scenes, max_samples, max_brir, max_noises):
         snrs=snrs, rms_jitters=rms_jitters,
         decay_rt60=decay[:, 0], decay_drr=decay[:, 1],
         decay_delay=decay[:, 2], decay_color_alpha=decay[:, 3],
+        ndrs=ndrs, tmrs=tmrs,
     )
+    if max_diffuse:
+        out.update(
+            diffuse_brirs=diffuse_brirs,
+            diffuse_brir_lengths=diffuse_brir_lengths,
+            diffuse_masks=diffuse_masks,
+            diffuse_color_alpha=diffuse_color_alpha,
+        )
+    return out

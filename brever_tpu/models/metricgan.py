@@ -18,9 +18,9 @@ worker options are accepted for API parity but the STFT always runs on
 device (it is free there) and only the noisy score could be
 precomputed; both flags are no-ops here.
 
-Caveat: the default target metric is ``pesq`` like the reference; in
-environments without the PESQ library choose ``target_metrics=[stoi]``
-or ``[estoi]``.
+The default target metric is ``pesq`` like the reference, scored by
+the in-repo ITU-T P.862 implementation (:mod:`brever_tpu.pesq`);
+``stoi``/``estoi`` are also available as targets.
 """
 
 import functools

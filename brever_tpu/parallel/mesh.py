@@ -35,8 +35,12 @@ def shard_batch(batch, mesh, axis_name='dp'):
     """
     sharding = NamedSharding(mesh, P(axis_name))
     if jax.process_count() > 1:
+        # make_array_from_process_local_data wants host buffers; pull
+        # device-synthesized batches back (single-host keeps them on
+        # device below)
         return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
             batch,
         )
     return jax.tree.map(partial(jax.device_put, device=sharding), batch)

@@ -507,6 +507,10 @@ class BreverTrainer:
             pad = (-x.shape[0]) % quantum
             if pad == 0:
                 return x
+            if isinstance(x, jax.Array):
+                # device-synthesized batch: pad on device, no host trip
+                filler = jnp.repeat(x[:1], pad, axis=0)
+                return jnp.concatenate([x, filler], axis=0)
             filler = np.repeat(np.asarray(x[:1]), pad, axis=0)
             return np.concatenate([np.asarray(x), filler], axis=0)
 

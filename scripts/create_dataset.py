@@ -3,7 +3,9 @@ reached, writing per-source audio into ``audio.tar`` (or a directory)
 plus ``mixture_info.json`` and ``log.log``.
 
 Reference behavior: scripts/create_dataset.py:19-100. Audio format is
-WAV in this environment (FLAC when soundfile is available).
+FLAC by default like the reference (written by the in-repo codec,
+brever_tpu/flac.py); ``--format wav`` writes float32 WAV instead
+(larger, faster to encode).
 """
 
 import argparse
@@ -18,13 +20,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-from brever_tpu.audio import write_wav  # noqa: E402
+from brever_tpu.audio import write_audio  # noqa: E402
 from brever_tpu.config import get_config  # noqa: E402
 from brever_tpu.logger import set_logger  # noqa: E402
 from brever_tpu.mixture import RandomMixtureMaker  # noqa: E402
 
 
-def create_dataset(dataset_dir, no_tar=False):
+def create_dataset(dataset_dir, no_tar=False, format='flac'):
     mixture_info_path = os.path.join(dataset_dir, 'mixture_info.json')
     if os.path.exists(mixture_info_path):
         raise FileExistsError(
@@ -55,13 +57,14 @@ def create_dataset(dataset_dir, no_tar=False):
         mix, metadata = rmm()
         for source in sources:
             x = getattr(mix, source).astype('float32')
-            name = f'audio/{i:05d}_{source}.wav'
+            name = f'audio/{i:05d}_{source}.{format}'
             if tar is None:
-                write_wav(os.path.join(audio_dir, f'{i:05d}_{source}.wav'),
-                          x, fs)
+                write_audio(
+                    os.path.join(audio_dir, f'{i:05d}_{source}.{format}'),
+                    x, fs, name=name)
             else:
                 buf = io.BytesIO()
-                write_wav(buf, x, fs)
+                write_audio(buf, x, fs, name=name)
                 data = buf.getvalue()
                 info = tarfile.TarInfo(name)
                 info.size = len(data)
@@ -86,8 +89,12 @@ def main():
     parser.add_argument('--no-tar', action='store_true',
                         help='write audio files to a directory instead '
                         'of a tar archive')
+    parser.add_argument('--format', default='flac',
+                        choices=['flac', 'wav'],
+                        help='audio encoding (default: flac, like the '
+                        'reference)')
     args = parser.parse_args()
-    create_dataset(args.input, no_tar=args.no_tar)
+    create_dataset(args.input, no_tar=args.no_tar, format=args.format)
 
 
 if __name__ == '__main__':
