@@ -52,6 +52,27 @@ def sample_weighted_mean(per_item, lengths):
     return (per_item * weights).sum() / jnp.maximum(weights.sum(), 1)
 
 
+def param_dtype(variables):
+    """Floating dtype of the (possibly amp-cast) parameters.
+
+    The trainer's bf16 path casts params and the batch to bfloat16
+    inside the jitted loss, but STFT front-ends silently promote
+    activations back to float32 (FFTs are complex64, and
+    ``spec.real``/``spec.imag`` are f32).  Spectral models therefore
+    cast their network inputs to this dtype at the STFT->network
+    boundary so the trunk actually runs in the amp dtype — the
+    difference between ~f32 HBM traffic and half of it on
+    bandwidth-bound models.  With float32 params this is the identity.
+    """
+    tree = variables.get('params', variables) \
+        if isinstance(variables, dict) else variables
+    for leaf in jax.tree.leaves(tree):
+        dt = getattr(leaf, 'dtype', None)
+        if dt is not None and jnp.issubdtype(dt, jnp.floating):
+            return dt
+    return jnp.float32
+
+
 class BreverBaseModel:
     """Base for all model families.
 

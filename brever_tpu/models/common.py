@@ -36,10 +36,13 @@ class GlobalLayerNorm(nn.Module):
         gain = self.param('scale', nn.initializers.ones, (n_channels,))
         bias = self.param('bias', nn.initializers.zeros, (n_channels,))
         axes = tuple(range(1, x.ndim))
-        mean = x.mean(axis=axes, keepdims=True)
-        var = ((x - mean)**2).mean(axis=axes, keepdims=True)
-        normed = (x - mean) / jnp.sqrt(var + self.eps)
-        return normed * gain + bias
+        # stats in f32 (fused into the reduction; activations stay in
+        # the amp dtype in HBM — no extra bytes, just f32 accumulation)
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=axes, keepdims=True)
+        var = ((x32 - mean)**2).mean(axis=axes, keepdims=True)
+        normed = (x32 - mean) / jnp.sqrt(var + self.eps)
+        return (normed * gain + bias).astype(x.dtype)
 
 
 class CausalLayerNormModule(nn.Module):
@@ -85,6 +88,10 @@ class ComplexBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         n_channels = x.shape[-1] // 2
+        in_dtype = x.dtype
+        # stats + 2x2 whitening in f32 (sqrt/divide chain is too
+        # precision-sensitive for bf16 amp inputs); output cast back
+        x = x.astype(jnp.float32)
         # (2, batch, ..., C)
         z = jnp.stack([x[..., :n_channels], x[..., n_channels:]], axis=0)
         axes = tuple(range(1, z.ndim - 1))
@@ -142,4 +149,4 @@ class ComplexBatchNorm(nn.Module):
             + white_i * weight[1].reshape(shape) + bias[0].reshape(shape)
         out_i = white_r * weight[1].reshape(shape) \
             + white_i * weight[2].reshape(shape) + bias[1].reshape(shape)
-        return jnp.concatenate([out_r, out_i], axis=-1)
+        return jnp.concatenate([out_r, out_i], axis=-1).astype(in_dtype)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import STFT
-from .base import BreverBaseModel, ModelRegistry
+from .base import BreverBaseModel, ModelRegistry, param_dtype
 from .common import ComplexBatchNorm, PReLU
 from .rnn import LSTM
 
@@ -234,14 +234,20 @@ class DCCRN(BreverBaseModel):
 
     def _forward(self, variables, x, train, rng=None):
         length = x.shape[-1]
-        spec = self._to_input(x)  # (B, F, T, 2)
+        # network trunk in the (possibly bf16) amp dtype; the STFT is
+        # complex64 so its real/imag parts silently promote to f32
+        # otherwise (see base.param_dtype). Mask application + iSTFT
+        # stay f32.
+        spec = self._to_input(x.astype(jnp.float32)) \
+            .astype(param_dtype(variables))
         if train:
             mask, updates = self.module.apply(
                 variables, spec, train=True, mutable=['batch_stats'])
         else:
             mask = self.module.apply(variables, spec, train=False)
             updates = None
-        out_spec = self._apply_mask(spec, mask)
+        out_spec = self._apply_mask(
+            spec.astype(jnp.float32), mask.astype(jnp.float32))
         # re-pad the DC bin, back to complex (B, bins, T)
         out = jax.lax.complex(out_spec[..., 0], out_spec[..., 1])
         out = jnp.pad(out, ((0, 0), (1, 0), (0, 0)))

@@ -21,7 +21,8 @@ import numpy as np
 
 from ..ops import STFT, FeatureExtractor, MelFilterbank
 from ..utils import eps
-from .base import BreverBaseModel, ModelRegistry, sample_weighted_mean
+from .base import (BreverBaseModel, ModelRegistry, param_dtype,
+                   sample_weighted_mean)
 
 
 class _MLP(nn.Module):
@@ -163,10 +164,13 @@ class FFNN(BreverBaseModel):
         inputs = data[:, :self.input_size]
         labels = data[:, self.input_size:]
         inputs = self.normalize(variables, inputs)
+        # dense trunk in the (possibly bf16) amp dtype: the feature
+        # front-end is f32 (complex STFT), see base.param_dtype
+        inputs = inputs.astype(param_dtype(variables))
         outputs = self.module.apply(
             {'params': variables['params']}, inputs, train=train,
             rngs={'dropout': rng} if train else {},
-        )
+        ).astype(jnp.float32)
         frame_lengths = self.frame_count(
             lengths, self.stft.frame_length, self.stft.hop_length)
         frame_lengths = jnp.ceil(frame_lengths / self.decimation)

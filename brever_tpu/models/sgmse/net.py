@@ -50,9 +50,13 @@ class NoiseEmbedding(nn.Module):
                 self.make_rng('params'), (self.noise_channels // 2,)
             ) * self.fourier_scale,
         ).value
-        x = x.reshape(-1)
+        in_dtype = x.dtype
+        x = x.reshape(-1).astype(jnp.float32)
+        # angles/sin/cos in f32 (the 'buffers' freqs stay f32 under
+        # amp); cast the features so the MLP + trunk keep the amp dtype
         angles = 2 * math.pi * x[:, None] * freqs[None, :]
-        h = jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)
+        h = jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1) \
+            .astype(in_dtype)
         h = nn.silu(nn.Dense(self.emb_channels, name='linear_1')(h))
         h = nn.silu(nn.Dense(self.emb_channels, name='linear_2')(h))
         return h

@@ -10,6 +10,8 @@ solvers consume. Registry of parametrizations mirrors the reference
 import jax
 import jax.numpy as jnp
 
+from ..base import param_dtype
+
 
 def _make_rules(sigma_data):
     return {
@@ -68,15 +70,19 @@ class Preconditioning:
         cnoise = self.cnoise(sigma, t)
 
         x_in = cin * x + cshift
-        # (B, 1, F, T) complex -> (B, F, T, 4) channels-last real/imag
+        # (B, 1, F, T) complex -> (B, F, T, 4) channels-last real/imag.
+        # The U-Net trunk runs in the (possibly bf16) amp dtype — the
+        # complex spectrogram algebra around it is f32/c64 (see
+        # base.param_dtype); skip/out scalings stay f32.
+        net_dtype = param_dtype(variables)
         net_in = jnp.stack(
             [x_in[:, 0].real, x_in[:, 0].imag, y[:, 0].real, y[:, 0].imag],
             axis=-1,
-        )
+        ).astype(net_dtype)
         rngs = {'dropout': rng} if rng is not None else {}
         net_out = self.net.apply(
-            variables, net_in, cnoise, deterministic=deterministic,
-            rngs=rngs)
+            variables, net_in, cnoise.astype(net_dtype),
+            deterministic=deterministic, rngs=rngs).astype(jnp.float32)
         denoised = jax.lax.complex(
             net_out[..., 0], net_out[..., 1])[:, None]
         return cskip * x + cout * denoised

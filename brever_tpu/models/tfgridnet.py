@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import STFT
-from .base import BreverBaseModel, ModelRegistry
+from .base import BreverBaseModel, ModelRegistry, param_dtype
 from .common import PReLU
 from .rnn import BLSTM
 from .schedulers import ReduceLROnPlateau
@@ -48,16 +48,20 @@ class _AllHeadPReLULayerNorm(nn.Module):
             'alpha',
             lambda k: jnp.full((self.n_head, 1, 1, 1), 0.25,
                                jnp.float32))
-        x = jnp.where(x >= 0, x, alpha * x)
+        x = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
         gamma = self.param(
             'gamma', nn.initializers.ones,
             (self.n_head, 1, self.n_freqs, self.emb))
         beta = self.param(
             'beta', nn.initializers.zeros,
             (self.n_head, 1, self.n_freqs, self.emb))
-        mean = x.mean(axis=(3, 4), keepdims=True)
-        var = ((x - mean)**2).mean(axis=(3, 4), keepdims=True)
-        return ((x - mean) / jnp.sqrt(var + self.eps)) * gamma + beta
+        # stats in f32 for bf16 inputs (bf16 mean/var over F*E rows is
+        # too coarse); the cast pair fuses away under f32
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=(3, 4), keepdims=True)
+        var = ((x32 - mean)**2).mean(axis=(3, 4), keepdims=True)
+        out = ((x32 - mean) / jnp.sqrt(var + self.eps)) * gamma + beta
+        return out.astype(x.dtype)
 
 
 class _LayerNormCF(nn.Module):
@@ -75,9 +79,11 @@ class _LayerNormCF(nn.Module):
                            (1, 1, self.n_freqs, self.n_channels))
         beta = self.param('beta', nn.initializers.zeros,
                           (1, 1, self.n_freqs, self.n_channels))
-        mean = x.mean(axis=(2, 3), keepdims=True)
-        var = ((x - mean)**2).mean(axis=(2, 3), keepdims=True)
-        return ((x - mean) / jnp.sqrt(var + self.eps)) * gamma + beta
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=(2, 3), keepdims=True)
+        var = ((x32 - mean)**2).mean(axis=(2, 3), keepdims=True)
+        out = ((x32 - mean) / jnp.sqrt(var + self.eps)) * gamma + beta
+        return out.astype(x.dtype)
 
 
 class _GridBlock(nn.Module):
@@ -175,6 +181,7 @@ class _TFGridNetModule(nn.Module):
     emb_hs: int
     eps: float = 1e-5
     n_imics: int = 2
+    remat: bool = True
 
     @nn.compact
     def __call__(self, spec):
@@ -185,8 +192,11 @@ class _TFGridNetModule(nn.Module):
                          name='embed_norm')(h)
         # rematerialize each grid block: the BLSTM scans otherwise keep
         # every gate activation alive for the backward pass (measured
-        # ~44 GB for batch 16 x 4 s without remat — over a v5e's HBM)
-        block_cls = nn.remat(_GridBlock)
+        # ~44 GB for batch 16 x 4 s without remat — over a v5e's HBM).
+        # The recompute costs HBM traffic (the train step runs at ~98 %
+        # of the bandwidth roofline), so small batches that fit without
+        # remat should turn it off (module.replace(remat=False)).
+        block_cls = nn.remat(_GridBlock) if self.remat else _GridBlock
         for i in range(self.n_layers):
             h = block_cls(
                 emb_dim=self.emb_dim,
@@ -273,10 +283,16 @@ class TFGridNet(BreverBaseModel):
 
     def _forward(self, variables, x):
         n_samples = x.shape[-1]
+        x = x.astype(jnp.float32)
         std = jnp.std(x, axis=(1, 2), keepdims=True)
         x = x / jnp.maximum(std, 1e-8)
-        spec = self._to_input(x)
+        # run the grid-block trunk in the (possibly bf16) param dtype:
+        # the STFT is complex64, so without this cast the whole network
+        # silently runs f32 even under amp — and the BLSTM scans are
+        # HBM-bandwidth-bound, so activation bytes are the step time
+        spec = self._to_input(x).astype(param_dtype(variables))
         out = self.module.apply(variables, spec)  # (B, T, F, 2*n_srcs)
+        out = out.astype(jnp.float32)
         batch, frames, freqs, _ = out.shape
         out = out.reshape(batch, frames, freqs, self.n_srcs, 2)
         out = out.transpose(0, 3, 2, 1, 4)        # (B, S, F, T, 2)
