@@ -23,6 +23,20 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
+def batch_norm(x, train, name, momentum=0.99, epsilon=1e-5):
+    """``nn.BatchNorm`` that preserves the amp compute dtype.
+
+    Call inside a ``@nn.compact`` body.  The running statistics live in
+    the f32 ``batch_stats`` collection (aux collections are not
+    amp-cast by the trainer), so flax's default output dtype promotes a
+    bf16 trunk back to f32 at every norm — this wrapper casts the
+    normalized output back to the input dtype (identity under f32).
+    """
+    out = nn.BatchNorm(use_running_average=not train, momentum=momentum,
+                       epsilon=epsilon, name=name)(x)
+    return out.astype(x.dtype)
+
+
 class GlobalLayerNorm(nn.Module):
     """torch ``GroupNorm(num_groups=1)`` equivalent: normalize over the
     channel *and* time axes per sample, with per-channel affine."""

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..ops import STFT
 from .base import BreverBaseModel, ModelRegistry, param_dtype
-from .common import ComplexBatchNorm, PReLU
+from .common import ComplexBatchNorm, PReLU, batch_norm
 from .rnn import LSTM
 
 
@@ -91,9 +91,8 @@ class _DCCRNModule(nn.Module):
         if self.complex_batchnorm:
             return lambda h, train: ComplexBatchNorm(name=name)(
                 h, train=train)
-        return lambda h, train: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name=name)(h)
+        return lambda h, train: batch_norm(
+            h, train, name, momentum=0.9, epsilon=1e-5)
 
     @nn.compact
     def __call__(self, x, train=False):

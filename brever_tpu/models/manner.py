@@ -29,6 +29,7 @@ import numpy as np
 from ..ops import STFT
 from ..ops.stft import frame_signal, overlap_add
 from .base import BreverBaseModel, ModelRegistry
+from .common import batch_norm
 
 
 class _BasicConv(nn.Module):
@@ -46,8 +47,7 @@ class _BasicConv(nn.Module):
                     padding=((self.padding, self.padding),),
                     use_bias=self.use_bias, name='conv')(x)
         if self.bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-5, name='bn')(x)
+            x = batch_norm(x, train, 'bn')
         if self.relu:
             x = nn.relu(x)
         return x
@@ -66,8 +66,7 @@ class _ResConBlock(nn.Module):
         out1 = int(self.in_channels * self.growth1)
         out2 = int(self.in_channels * self.growth2)
         h = nn.Conv(out1, (1,), use_bias=True, name='pw1')(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-5, name='pw1_bn')(h)
+        h = batch_norm(h, train, 'pw1_bn')
         a, b = jnp.split(h, 2, axis=-1)
         h = a * jax.nn.sigmoid(b)  # GLU over channels
         pad = (self.kernel - 1) // 2
@@ -75,12 +74,10 @@ class _ResConBlock(nn.Module):
                     feature_group_count=self.in_channels,
                     padding=((pad, pad),), use_bias=False,
                     name='depthwise')(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-5, name='dw_bn')(h)
+        h = batch_norm(h, train, 'dw_bn')
         h = h * jax.nn.sigmoid(h)  # swish
         h = nn.Conv(out2, (1,), use_bias=True, name='pw2')(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-5, name='pw2_bn')(h)
+        h = batch_norm(h, train, 'pw2_bn')
         h = h * jax.nn.sigmoid(h)
         h = _BasicConv(out2, relu=False, name='out_conv')(h, train)
         short = _BasicConv(out2, relu=False, name='shortcut')(x, train)
@@ -163,8 +160,7 @@ class _LocalAttention(nn.Module):
         h = nn.Conv(ch, (31,), feature_group_count=ch,
                     padding=((pad, pad),), use_bias=False,
                     name='depthwise')(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-5, name='dw_bn')(h)
+        h = batch_norm(h, train, 'dw_bn')
         h = h * jax.nn.sigmoid(h)
         # stats over channels -> (B*P, chunk, 2)
         pooled = jnp.stack([h.max(axis=-1), h.mean(axis=-1)], axis=-1)
@@ -244,8 +240,11 @@ class _MannerModule(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         # x: (B, 1, samples) -> (B, samples, 1) channels-last
-        std = jnp.std(x.mean(axis=1, keepdims=True), axis=-1, keepdims=True)
-        x = x / (self.eps + std)
+        # input std in f32 (a 64k-sample reduction is too coarse in
+        # bf16); identity under f32
+        std = jnp.std(x.astype(jnp.float32).mean(axis=1, keepdims=True),
+                      axis=-1, keepdims=True)
+        x = x / (self.eps + std.astype(x.dtype))
         length = x.shape[-1]
         pad = self._padded_length(length) - length
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
@@ -253,8 +252,7 @@ class _MannerModule(nn.Module):
 
         h = nn.Conv(self.hidden, (3,), padding=((1, 1),),
                     name='in_conv')(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-5, name='in_bn')(h)
+        h = batch_norm(h, train, 'in_bn')
         h = nn.relu(h)
         enc_out = h
 
@@ -268,8 +266,7 @@ class _MannerModule(nn.Module):
             h = nn.Conv(in_ch, (self.kernel_size,),
                         strides=(self.stride,), padding='VALID',
                         name=f'enc_{layer}_down')(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-5, name=f'enc_{layer}_bn')(h)
+            h = batch_norm(h, train, f'enc_{layer}_bn')
             h = nn.relu(h)
             h = _ResConBlock(in_ch, growth1=2, growth2=2,
                              name=f'enc_{layer}_rescon')(h, train)
@@ -295,8 +292,7 @@ class _MannerModule(nn.Module):
             h = nn.ConvTranspose(
                 dec_out, (self.kernel_size,), strides=(self.stride,),
                 padding='VALID', name=f'dec_{layer}_up')(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                             epsilon=1e-5, name=f'dec_{layer}_up_bn')(h)
+            h = batch_norm(h, train, f'dec_{layer}_up_bn')
             h = nn.relu(h)
             if layer == self.depth - 1:
                 h = _MultiviewAttention(

@@ -33,6 +33,7 @@ import optax
 
 from ..ops import STFT
 from .base import BreverBaseModel, ModelRegistry, sample_weighted_mean
+from .common import batch_norm
 from .rnn import BLSTM
 
 
@@ -84,10 +85,8 @@ class _Discriminator(nn.Module):
         x = jnp.stack([input_mag, clean_mag], axis=-1)
         x = jnp.swapaxes(x, 1, 2)
         if self.batchnorm:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=1 - self.batchnorm_momentum,
-                name='norm')(x)
+            x = batch_norm(x, train, 'norm', epsilon=1e-5,
+                           momentum=1 - self.batchnorm_momentum)
         for i, ch in enumerate(self.conv_channels):
             conv = nn.Conv(ch, (5, 5), padding='VALID', name=f'conv_{i}')
             x = nn.SpectralNorm(conv)(x, update_stats=train)

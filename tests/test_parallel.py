@@ -183,3 +183,95 @@ def test_trainer_rejects_unknown_val_metric(tmp_path):
             model=model, train_dataset=ds, val_dataset=ds,
             model_dirpath=str(tmp_path), epochs=1, device='cpu',
             val_metrics={'nonexistent_metric'})
+
+
+# ---------------------------------------------------------------------------
+# tensor parallelism (2-D dp x mp mesh) — no reference counterpart
+# (brever is DDP-only); capability exists for HBM headroom on the
+# largest models (see brever_tpu/parallel/tensor.py docstring)
+
+def test_tp_specs_shard_kernels_only():
+    from brever_tpu.parallel import infer_tp_specs
+    from jax.sharding import PartitionSpec as P
+
+    params = {
+        'dense': {'kernel': jnp.zeros((64, 128)),
+                  'bias': jnp.zeros((128,))},
+        'conv': {'kernel': jnp.zeros((3, 16, 128))},
+        'odd': {'kernel': jnp.zeros((63, 65))},
+        'tiny': {'kernel': jnp.zeros((2, 4))},
+    }
+    specs = infer_tp_specs(params, mp=4)
+    assert specs['dense']['kernel'] == P(None, 'mp')
+    assert specs['dense']['bias'] == P()
+    assert specs['conv']['kernel'] == P(None, None, 'mp')
+    assert specs['odd']['kernel'] == P()       # nothing divides by 4
+    assert specs['tiny']['kernel'] == P()      # below min size
+
+
+def test_tp_train_step_matches_single_device():
+    """Channel-sharded Conv-TasNet train step over a (2, 4) mesh must
+    match the single-device step (GSPMD collectives are exact up to
+    reduction order)."""
+    import optax
+
+    from brever_tpu.models.base import sample_weighted_mean
+    from brever_tpu.parallel import (
+        get_mesh_2d,
+        make_tp_step,
+        make_tp_train_state,
+        shard_batch_2d,
+    )
+
+    model = ModelRegistry.get('convtasnet')(
+        filters=64, filter_length=16, bottleneck_channels=32,
+        hidden_channels=64, skip_channels=32, layers=2, repeats=2)
+    tx = optax.chain(optax.clip_by_global_norm(model.grad_clip),
+                     model.optimizer())
+
+    def train_step(state, batch, lengths):
+        rng, step_rng = jax.random.split(state['rng'])
+
+        def loss_fn(params):
+            per_item = model.loss({'params': params}, batch, lengths,
+                                  step_rng, train=True)
+            return sample_weighted_mean(per_item, lengths)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state['params'])
+        updates, opt_state = tx.update(grads, state['opt_state'],
+                                       state['params'])
+        return {'params': optax.apply_updates(state['params'], updates),
+                'opt_state': opt_state, 'rng': rng}, loss
+
+    rng = np.random.RandomState(0)
+    batch = rng.randn(8, 2, 2, 2048).astype('float32')
+    lengths = np.full(8, 2048, dtype=np.int32)
+
+    # single device
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    state1 = {'params': variables['params'],
+              'opt_state': tx.init(variables['params']),
+              'rng': jax.random.PRNGKey(1)}
+    new1, loss1 = jax.jit(train_step)(
+        state1, jnp.asarray(batch), jnp.asarray(lengths))
+
+    # (2, 4) mesh: batch over dp, channels over mp
+    mesh = get_mesh_2d(2, 4)
+    state, _ = make_tp_train_state(model, mesh, tx)
+    from brever_tpu.parallel.tensor import sharded_size
+    # at least one kernel must actually be distributed
+    sizes = [
+        (sharded_size(x), int(np.prod(x.shape)))
+        for x in jax.tree.leaves(state['params'])
+    ]
+    assert any(s < full for s, full in sizes)
+    dbatch, dlengths = shard_batch_2d((batch, lengths), mesh)
+    step = make_tp_step(train_step, donate_state=False)
+    new2, loss2 = step(state, dbatch, dlengths)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    flat1 = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree.leaves(new1['params'])])
+    flat2 = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree.leaves(new2['params'])])
+    np.testing.assert_allclose(flat1, flat2, rtol=1e-4, atol=1e-6)
