@@ -14,6 +14,7 @@ static-shape jit: encoder framing pads to an integer stride count.
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.pallas.tcn_block import pallas_tcn_available, tcn_block_fused
 from .base import BreverBaseModel, ModelRegistry
 from .common import PReLU, make_norm
 
@@ -33,27 +34,73 @@ class _ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (batch, time, bottleneck)
-        h = nn.Dense(self.hidden_channels, name='conv_in')(x)
-        h = PReLU(name='prelu_1')(h)
-        h = make_norm(self.causal)(h)
+        # construct submodules up front (names fixed by construction
+        # order) so the fused kernel path below shares the exact same
+        # parameter tree as the unfused path
+        dense_in = nn.Dense(self.hidden_channels, name='conv_in')
+        prelu_1 = PReLU(name='prelu_1')
+        norm_1 = make_norm(self.causal)
         padding = (self.kernel_size - 1) * self.dilation
         if self.causal:
             pad = (padding, 0)
         else:
             pad = (padding // 2, padding - padding // 2)
-        h = nn.Conv(
+        depthwise = nn.Conv(
             features=self.hidden_channels,
             kernel_size=(self.kernel_size,),
             kernel_dilation=(self.dilation,),
             feature_group_count=self.hidden_channels,
             padding=(pad,),
             name='depthwise',
-        )(h)
-        h = PReLU(name='prelu_2')(h)
-        h = make_norm(self.causal)(h)
-        residual = None if self.last \
-            else x + nn.Dense(self.input_channels, name='res')(h)
-        skip = nn.Dense(self.skip_channels, name='skip')(h)
+        )
+        prelu_2 = PReLU(name='prelu_2')
+        norm_2 = make_norm(self.causal)
+        dense_res = None if self.last \
+            else nn.Dense(self.input_channels, name='res')
+        dense_skip = nn.Dense(self.skip_channels, name='skip')
+
+        # flash-TCN: recompute-from-VMEM fused kernel (TPU + bf16 amp
+        # + non-causal global norm); see ops/pallas/tcn_block.py
+        if (not self.causal and self.kernel_size == 3
+                and x.dtype == jnp.bfloat16 and pallas_tcn_available()):
+            # materialize the identical param tree with a tiny pass
+            tiny = jnp.zeros((1, 8, x.shape[-1]), x.dtype)
+            th = norm_1(prelu_1(dense_in(tiny)))
+            th = norm_2(prelu_2(depthwise(th)))
+            if dense_res is not None:
+                dense_res(th)
+            dense_skip(th)
+            p = self.variables['params']
+            hidden = self.hidden_channels
+            if self.last:
+                w_res = jnp.zeros((hidden, self.input_channels), x.dtype)
+                b_res = jnp.zeros((self.input_channels,), x.dtype)
+            else:
+                w_res = p['res']['kernel']
+                b_res = p['res']['bias']
+            params = (
+                p['conv_in']['kernel'], p['conv_in']['bias'],
+                p['prelu_1']['alpha'],
+                p['GlobalLayerNorm_0']['scale'],
+                p['GlobalLayerNorm_0']['bias'],
+                p['depthwise']['kernel'].reshape(3, hidden),
+                p['depthwise']['bias'],
+                p['prelu_2']['alpha'],
+                p['GlobalLayerNorm_1']['scale'],
+                p['GlobalLayerNorm_1']['bias'],
+                w_res, b_res,
+                p['skip']['kernel'], p['skip']['bias'],
+            )
+            return tcn_block_fused(x, params, self.dilation, self.last)
+
+        h = dense_in(x)
+        h = prelu_1(h)
+        h = norm_1(h)
+        h = depthwise(h)
+        h = prelu_2(h)
+        h = norm_2(h)
+        residual = None if self.last else x + dense_res(h)
+        skip = dense_skip(h)
         return residual, skip
 
 

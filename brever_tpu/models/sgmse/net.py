@@ -153,6 +153,9 @@ class DiffusionUNet(nn.Module):
     aux_out_channels: int = 4
     in_channels: int = 4
     out_channels: int = 2
+    # remat halves peak HBM; small-batch bf16 runs that fit
+    # without it avoid the recompute bytes (cf. tfgridnet)
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, sigma, deterministic=True):
@@ -187,7 +190,7 @@ class DiffusionUNet(nn.Module):
             for b in range(n_blocks):
                 is_down = has_resample and b == n_blocks - 1
                 x = _block(
-                    not is_down,
+                    self.remat and not is_down,
                     in_channels=in_ch if b == 0 else channels[i],
                     out_channels=channels[i],
                     block_type=self.block_type,
@@ -213,14 +216,14 @@ class DiffusionUNet(nn.Module):
 
         # ---------------------------------------------------- bottleneck
         x = _block(
-            True,
+            self.remat,
             in_channels=channels[-1], out_channels=channels[-1],
             block_type=self.block_type, skip_scale=self.skip_scale,
             dropout=self.dropout, attention=self.attn_bottleneck,
             name='bottleneck_1',
         )(x, emb, None, deterministic)
         x = _block(
-            True,
+            self.remat,
             in_channels=channels[-1], out_channels=channels[-1],
             block_type=self.block_type, skip_scale=self.skip_scale,
             dropout=self.dropout,
@@ -248,7 +251,7 @@ class DiffusionUNet(nn.Module):
                 skip_ch = skip_channels.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = _block(
-                    True,
+                    self.remat,
                     in_channels=skip_ch
                     + (in_ch if b == 0 else channels[i]),
                     out_channels=channels[i],
