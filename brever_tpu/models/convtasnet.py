@@ -14,7 +14,8 @@ static-shape jit: encoder framing pads to an integer stride count.
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.pallas.tcn_block import pallas_tcn_available, tcn_block_fused
+from ..ops.pallas.tcn_block import (MAX_FUSED_T, pallas_tcn_available,
+                                    tcn_block_fused)
 from .base import BreverBaseModel, ModelRegistry
 from .common import PReLU, make_norm
 
@@ -62,7 +63,8 @@ class _ConvBlock(nn.Module):
         # flash-TCN: recompute-from-VMEM fused kernel (TPU + bf16 amp
         # + non-causal global norm); see ops/pallas/tcn_block.py
         if (not self.causal and self.kernel_size == 3
-                and x.dtype == jnp.bfloat16 and pallas_tcn_available()):
+                and x.dtype == jnp.bfloat16 and pallas_tcn_available()
+                and x.shape[1] <= MAX_FUSED_T):
             # materialize the identical param tree with a tiny pass
             tiny = jnp.zeros((1, 8, x.shape[-1]), x.dtype)
             th = norm_1(prelu_1(dense_in(tiny)))

@@ -14,27 +14,30 @@ jnp twin in models/convtasnet._ConvBlock) is
 XLA materializes every (B, T, H) intermediate in HBM — ~3.4 GB of
 traffic per block per train step at batch 16 x 4 s, which pins the
 whole model at the HBM roofline (~11% MFU measured).  The fused kernel
-exploits the one structural fact XLA cannot: **a full time row of the
-input fits in VMEM** ((T=8000, C=128) bf16 = 2 MB), so every
-intermediate can be *recomputed from VMEM at zero HBM cost* instead of
-round-tripping through HBM.
+exploits the structural fact XLA cannot: **a full time row of every
+intermediate fits in VMEM** (v5e has 128 MB; an (8000, 512) f32 row is
+8.2 MB), so the whole block — two matmuls-worth of intermediates, two
+global-norm reduction barriers and a dilated depthwise conv — runs out
+of on-chip memory and touches HBM exactly three times: read x, write
+res, write skip.  Measured on the default model: 81.8 -> 3.7 GB per
+train step, 87 -> ~50 ms/step at batch 16 x 4 s.
 
-Forward kernel (grid over batch rows): three chunked passes over the
-VMEM-resident row —
-  A. accumulate gLN1 statistics of h1 (recomputed per chunk),
-  B. recompute h1 -> y1 (with dilation halo), depthwise conv,
-     accumulate gLN2 statistics of h2,
-  C. recompute the chain, apply gLN2, emit res/skip.
-HBM traffic per block: read x once, write res + skip once — ~25x less
-than the unfused path.  FLOPs go up ~2.5x; the model is ~10x away from
-the MXU roofline, so trading FLOPs for bytes is the right TPU deal.
+Forward kernel (grid over batch rows): chunked passes over
+VMEM-resident scratch rows —
+  A. z1/h1 chunks -> h1 scratch, accumulate gLN1 statistics,
+  B. normalize (with dilation halo), depthwise conv -> z2 scratch,
+     accumulate gLN2 statistics,
+  C. normalize z2, output matmuls -> res/skip.
+The gLN reduction barriers that forced XLA round-trips become loop
+boundaries between VMEM passes.
 
-Backward kernel (same recompute discipline, fwd saves only 4 scalars
-per row): three passes computing the gLN backward reductions, the
-transposed depthwise conv, and all parameter gradients (accumulated
-in f32 across the sequential grid).
+Backward kernel (forward saves only four gLN scalars per row):
+recomputes z1/y1/z2 into scratch once, then three gradient passes
+(gLN2 backward reductions -> transposed depthwise -> gLN1 backward +
+input/param grads).  Parameter gradients accumulate in f32 across the
+sequential grid (same output block revisited by every batch row).
 
-The fused path is used by the convtasnet model automatically when
+The fused path engages automatically from the convtasnet model when
 running on TPU in bf16 (amp) with the non-causal global norm; the f32
 CPU path (golden-value tests) always uses the jnp twin.
 """
@@ -54,6 +57,13 @@ except ImportError:  # pragma: no cover
 
 _EPS = 1e-8
 
+#: scoped VMEM budget for the kernels (v5e/v5p have 128 MB physical;
+#: the Mosaic default scope is 16 MB which the scratch rows exceed)
+_VMEM_LIMIT = 110 * 1024 * 1024
+
+#: longest row the fused path accepts (scratch = ~5 f32 rows of
+#: (T, hidden); 16k x 512 x 4 B x 5 = 160 MB would not fit)
+MAX_FUSED_T = 12288
 
 # test hook: force the fused path through the Pallas interpreter on
 # CPU (parity tests exercise the exact model integration off-TPU)
@@ -67,7 +77,7 @@ def pallas_tcn_available():
 
 
 # ---------------------------------------------------------------------------
-# jnp reference (the numerics contract; also the custom_vjp fallback)
+# jnp reference (the numerics contract)
 
 def _prelu(z, alpha):
     return jnp.where(z >= 0, z, alpha.astype(z.dtype) * z)
@@ -109,7 +119,7 @@ def tcn_block_reference(x, params, dilation, last):
 
 
 # ---------------------------------------------------------------------------
-# forward kernel
+# shared helpers
 
 def _chunk_bounds(t_total, tile):
     """Static chunk table [(start, size), ...] covering [0, t_total)."""
@@ -121,7 +131,35 @@ def _chunk_bounds(t_total, tile):
     return out
 
 
-def _fwd_kernel(x_ref, w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
+def _round8(n):
+    return (n + 7) // 8 * 8
+
+
+def _cost(batch, t, c_in, hidden, c_res, c_skip, forward):
+    """Analytic cost for XLA's scheduler/cost-analysis (Mosaic cannot
+    introspect the kernel).  Matmul FLOPs dominate: fwd = in-proj +
+    res + skip; bwd adds the gy2 back-projections, dW accumulations
+    and dx (the rc variant recomputes more, same order)."""
+    mm = 2 * batch * t * hidden
+    n_mats = (c_in + c_res + c_skip) if forward else \
+        (c_in + 2 * (c_res + c_skip) + 2 * c_in)
+    return pl.CostEstimate(
+        flops=mm * n_mats,
+        bytes_accessed=batch * t * (c_in + c_res + c_skip) * 2 * 2,
+        transcendentals=0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# recompute-variant kernels (no scratch rows).  Used for dilations
+# that are not multiples of 8: scratch-based taps then need
+# sublane-misaligned slices which Mosaic materializes as rotated
+# copies (measured 111 MB scoped VMEM for d=1 — does not fit).
+# These recompute every span from the VMEM-resident x instead;
+# ~2.5x the FLOPs of the scratch variant, same (minimal) HBM
+# traffic.  Numerics identical to the jnp twin.
+
+def _fwd_kernel_rc(x_ref, w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
                 w_dw_ref, b_dw_ref, g2_ref, be2_ref,
                 w_res_ref, b_res_ref, w_skip_ref, b_skip_ref,
                 res_ref, skip_ref, stats_ref,
@@ -221,69 +259,7 @@ def _fwd_kernel(x_ref, w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
     stats_ref[b, 3] = rstd2
 
 
-def _fwd_pallas(x, params, dilation, last, tile, interpret=False):
-    (w_in, b_in, a1, g1, be1, w_dw, b_dw, a2, g2, be2,
-     w_res, b_res, w_skip, b_skip) = params
-    batch, t_total, _ = x.shape
-    n_hidden = w_in.shape[1]
-    n_res = w_res.shape[1]
-    n_skip = w_skip.shape[1]
-    alphas = jnp.stack([a1, a2]).astype(jnp.float32).reshape(1, 2)
-
-    def row(shape):
-        # broadcast weight blocks: same block for every grid step
-        return pl.BlockSpec(shape, lambda b: (0,) * len(shape))
-
-    kernel = functools.partial(
-        _fwd_kernel, dilation=dilation, last=last, tile=tile)
-    res, skip, stats = pl.pallas_call(
-        kernel,
-        grid=(batch,),
-        in_specs=[
-            pl.BlockSpec((1, t_total, x.shape[2]), lambda b: (b, 0, 0)),
-            row(w_in.shape),
-            row((1, n_hidden)),
-            pl.BlockSpec((1, 2), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-            row((1, n_hidden)),
-            row((1, n_hidden)),
-            row(w_dw.shape),
-            row((1, n_hidden)),
-            row((1, n_hidden)),
-            row((1, n_hidden)),
-            row(w_res.shape),
-            row((1, n_res)),
-            row(w_skip.shape),
-            row((1, n_skip)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, t_total, n_res), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, t_total, n_skip), lambda b: (b, 0, 0)),
-            pl.BlockSpec((batch, 4), lambda b: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((batch, t_total, n_res), x.dtype),
-            jax.ShapeDtypeStruct((batch, t_total, n_skip), x.dtype),
-            jax.ShapeDtypeStruct((batch, 4), jnp.float32),
-        ],
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, w_in, b_in.reshape(1, -1), alphas, g1.reshape(1, -1),
-      be1.reshape(1, -1), w_dw, b_dw.reshape(1, -1), g2.reshape(1, -1),
-      be2.reshape(1, -1), w_res, b_res.reshape(1, -1), w_skip,
-      b_skip.reshape(1, -1))
-    return res, skip, stats
-
-
-# ---------------------------------------------------------------------------
-# backward kernel: same recompute-from-VMEM discipline.  The forward
-# saves only the four gLN scalars per row; everything else is
-# recomputed from x.  Parameter gradients accumulate in f32 across the
-# sequential grid (one block revisited by every batch row).
-
-def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
+def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
                 w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
                 w_dw_ref, b_dw_ref, g2_ref, be2_ref,
                 w_res_ref, w_skip_ref,
@@ -468,6 +444,357 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
     da_ref[0, 1] += da2_acc
 
 
+# ---------------------------------------------------------------------------
+# forward kernel
+
+def _fwd_kernel(x_ref, w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
+                w_dw_ref, b_dw_ref, g2_ref, be2_ref,
+                w_res_ref, b_res_ref, w_skip_ref, b_skip_ref,
+                res_ref, skip_ref, stats_ref,
+                h1s_ref, z2s_ref,
+                *, dilation, last, tile):
+    """One grid step = one batch row; intermediates live in scratch."""
+    t_total = x_ref.shape[1]
+    d = dilation
+    a1 = a_ref[0, 0]
+    a2 = a_ref[0, 1]
+    inv_n = 1.0 / (t_total * w_in_ref.shape[1])
+
+    # ---- pass A: h1 -> scratch, gLN1 statistics
+    s1 = 0.0
+    q1 = 0.0
+    for start, size in _chunk_bounds(t_total, tile):
+        z = jnp.dot(x_ref[0, start:start + size, :], w_in_ref[...],
+                    preferred_element_type=jnp.float32)
+        z = z + b_in_ref[...].astype(jnp.float32)
+        h = jnp.where(z >= 0, z, a1 * z)
+        h1s_ref[start:start + size, :] = h
+        s1 += jnp.sum(h)
+        q1 += jnp.sum(h * h)
+    mean1 = s1 * inv_n
+    rstd1 = jax.lax.rsqrt(jnp.maximum(q1 * inv_n - mean1 * mean1, 0.0)
+                          + _EPS)
+
+    g1 = g1_ref[...].astype(jnp.float32)
+    be1 = be1_ref[...].astype(jnp.float32)
+
+    def y1_span(start, size):
+        """gLN1 output on [start, start+size); ZERO outside [0, T)
+        (the depthwise conv pads y1 with zeros, so padding comes after
+        normalization).  Ref reads are 8-aligned; see _halo in the
+        backward kernel for why."""
+        lo = max(start, 0)
+        hi = min(start + size, t_total)
+        lo_al = lo // 8 * 8
+        hi_al = min(_round8(hi), h1s_ref.shape[0])
+        h = h1s_ref[lo_al:hi_al, :][lo - lo_al:lo - lo_al + hi - lo]
+        y = (h - mean1) * rstd1 * g1 + be1
+        if lo - start or start + size - hi:
+            y = jnp.pad(y, ((lo - start, start + size - hi), (0, 0)))
+        return y
+
+    w0 = w_dw_ref[0:1, :].astype(jnp.float32)
+    w1 = w_dw_ref[1:2, :].astype(jnp.float32)
+    w2 = w_dw_ref[2:3, :].astype(jnp.float32)
+    b_dw = b_dw_ref[...].astype(jnp.float32)
+
+    # ---- pass B: depthwise -> h2, scratch + gLN2 statistics
+    s2 = 0.0
+    q2 = 0.0
+    for start, size in _chunk_bounds(t_total, tile):
+        ext = y1_span(start - d, size + 2 * d)
+        z = (ext[:size] * w0 + ext[d:d + size] * w1
+             + ext[2 * d:2 * d + size] * w2 + b_dw)
+        h = jnp.where(z >= 0, z, a2 * z)
+        z2s_ref[start:start + size, :] = h
+        s2 += jnp.sum(h)
+        q2 += jnp.sum(h * h)
+    mean2 = s2 * inv_n
+    rstd2 = jax.lax.rsqrt(jnp.maximum(q2 * inv_n - mean2 * mean2, 0.0)
+                          + _EPS)
+
+    g2 = g2_ref[...].astype(jnp.float32)
+    be2 = be2_ref[...].astype(jnp.float32)
+    out_dtype = res_ref.dtype
+
+    # ---- pass C: outputs
+    for start, size in _chunk_bounds(t_total, tile):
+        y2 = ((z2s_ref[start:start + size, :] - mean2) * rstd2 * g2
+              + be2).astype(out_dtype)
+        skip_ref[0, start:start + size, :] = (
+            jnp.dot(y2, w_skip_ref[...],
+                    preferred_element_type=jnp.float32)
+            + b_skip_ref[...].astype(jnp.float32)
+        ).astype(out_dtype)
+        if last:
+            res_ref[0, start:start + size, :] = jnp.zeros(
+                (size, res_ref.shape[2]), out_dtype)
+        else:
+            res_ref[0, start:start + size, :] = (
+                x_ref[0, start:start + size, :].astype(jnp.float32)
+                + jnp.dot(y2, w_res_ref[...],
+                          preferred_element_type=jnp.float32)
+                + b_res_ref[...].astype(jnp.float32)
+            ).astype(out_dtype)
+
+    b = pl.program_id(0)
+    stats_ref[b, 0] = mean1
+    stats_ref[b, 1] = rstd1
+    stats_ref[b, 2] = mean2
+    stats_ref[b, 3] = rstd2
+
+
+def _fwd_pallas(x, params, dilation, last, tile, interpret=False):
+    (w_in, b_in, a1, g1, be1, w_dw, b_dw, a2, g2, be2,
+     w_res, b_res, w_skip, b_skip) = params
+    batch, t_total, _ = x.shape
+    n_hidden = w_in.shape[1]
+    n_res = w_res.shape[1]
+    n_skip = w_skip.shape[1]
+    alphas = jnp.stack([a1, a2]).astype(jnp.float32).reshape(1, 2)
+
+    def row(shape):
+        # broadcast weight blocks: same block for every grid step
+        return pl.BlockSpec(shape, lambda b: (0,) * len(shape))
+
+    kernel = functools.partial(
+        _fwd_kernel, dilation=dilation, last=last, tile=tile)
+    res, skip, stats = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((1, t_total, x.shape[2]), lambda b: (b, 0, 0)),
+            row(w_in.shape),
+            row((1, n_hidden)),
+            pl.BlockSpec((1, 2), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            row((1, n_hidden)),
+            row((1, n_hidden)),
+            row(w_dw.shape),
+            row((1, n_hidden)),
+            row((1, n_hidden)),
+            row((1, n_hidden)),
+            row(w_res.shape),
+            row((1, n_res)),
+            row(w_skip.shape),
+            row((1, n_skip)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t_total, n_res), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, t_total, n_skip), lambda b: (b, 0, 0)),
+            pl.BlockSpec((batch, 4), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, t_total, n_res), x.dtype),
+            jax.ShapeDtypeStruct((batch, t_total, n_skip), x.dtype),
+            jax.ShapeDtypeStruct((batch, 4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_round8(t_total), n_hidden), jnp.float32),
+            pltpu.VMEM((_round8(t_total), n_hidden), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=_cost(batch, t_total, x.shape[2], n_hidden,
+                            n_res, n_skip, forward=True),
+    )(x, w_in, b_in.reshape(1, -1), alphas, g1.reshape(1, -1),
+      be1.reshape(1, -1), w_dw, b_dw.reshape(1, -1), g2.reshape(1, -1),
+      be2.reshape(1, -1), w_res, b_res.reshape(1, -1), w_skip,
+      b_skip.reshape(1, -1))
+    return res, skip, stats
+
+
+# ---------------------------------------------------------------------------
+# backward kernel.  Forward saved only the four gLN scalars per row;
+# z1, y1 (with dilation halo zeros) and z2 are recomputed once into
+# scratch, then three gradient passes run entirely from VMEM.
+
+def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
+                w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
+                w_dw_ref, b_dw_ref, g2_ref, be2_ref,
+                w_res_ref, w_skip_ref,
+                dx_ref, dwin_ref, dbin_ref, da_ref, dg1_ref, dbe1_ref,
+                dwdw_ref, dbdw_ref, dg2_ref, dbe2_ref,
+                dwres_ref, dbres_ref, dwskip_ref, dbskip_ref,
+                z1s_ref, y1s_ref, z2s_ref, gz2s_ref,
+                *, dilation, last, tile):
+    t_total = x_ref.shape[1]
+    d = dilation
+    n_hidden = w_in_ref.shape[1]
+    inv_n = 1.0 / (t_total * n_hidden)
+    a1 = a_ref[0, 0]
+    a2 = a_ref[0, 1]
+    brow = pl.program_id(0)
+    mean1 = stats_ref[brow, 0]
+    rstd1 = stats_ref[brow, 1]
+    mean2 = stats_ref[brow, 2]
+    rstd2 = stats_ref[brow, 3]
+    g1 = g1_ref[...].astype(jnp.float32)
+    be1 = be1_ref[...].astype(jnp.float32)
+    g2 = g2_ref[...].astype(jnp.float32)
+    w0 = w_dw_ref[0:1, :].astype(jnp.float32)
+    w1 = w_dw_ref[1:2, :].astype(jnp.float32)
+    w2 = w_dw_ref[2:3, :].astype(jnp.float32)
+    b_dw = b_dw_ref[...].astype(jnp.float32)
+
+    @pl.when(brow == 0)
+    def _init():
+        dwin_ref[...] = jnp.zeros_like(dwin_ref)
+        dbin_ref[...] = jnp.zeros_like(dbin_ref)
+        da_ref[0, 0] = 0.0   # SMEM takes scalar stores only
+        da_ref[0, 1] = 0.0
+        dg1_ref[...] = jnp.zeros_like(dg1_ref)
+        dbe1_ref[...] = jnp.zeros_like(dbe1_ref)
+        dwdw_ref[...] = jnp.zeros_like(dwdw_ref)
+        dbdw_ref[...] = jnp.zeros_like(dbdw_ref)
+        dg2_ref[...] = jnp.zeros_like(dg2_ref)
+        dbe2_ref[...] = jnp.zeros_like(dbe2_ref)
+        dwres_ref[...] = jnp.zeros_like(dwres_ref)
+        dbres_ref[...] = jnp.zeros_like(dbres_ref)
+        dwskip_ref[...] = jnp.zeros_like(dwskip_ref)
+        dbskip_ref[...] = jnp.zeros_like(dbskip_ref)
+
+    # scratch rows are plainly laid out (logical row t at scratch row
+    # t — Mosaic requires 8-aligned STORE offsets, so no halo offset);
+    # halo reads clamp to [0, T) and zero-pad, like the forward pass
+    def _halo(ref, start, size):
+        # REF reads happen at 8-aligned row offsets (misaligned ref
+        # slices make Mosaic materialize rotated copies — measured VMEM
+        # blow-up for dilations 1/2/4); the fine slice is on the value
+        lo = max(start, 0)
+        hi = min(start + size, t_total)
+        lo_al = lo // 8 * 8
+        hi_al = min(_round8(hi), ref.shape[0])
+        v = ref[lo_al:hi_al, :][lo - lo_al:lo - lo_al + hi - lo]
+        if lo - start or start + size - hi:
+            v = jnp.pad(v, ((lo - start, start + size - hi), (0, 0)))
+        return v
+
+    # ---- pass R: recompute z1 -> y1 -> z2 into scratch
+    for start, size in _chunk_bounds(t_total, tile):
+        z1 = jnp.dot(x_ref[0, start:start + size, :], w_in_ref[...],
+                     preferred_element_type=jnp.float32)
+        z1 = z1 + b_in_ref[...].astype(jnp.float32)
+        z1s_ref[start:start + size, :] = z1
+        h1 = jnp.where(z1 >= 0, z1, a1 * z1)
+        y1s_ref[start:start + size, :] = \
+            (h1 - mean1) * rstd1 * g1 + be1
+    for start, size in _chunk_bounds(t_total, tile):
+        ext = _halo(y1s_ref, start - d, size + 2 * d)
+        z2s_ref[start:start + size, :] = (
+            ext[:size] * w0 + ext[d:d + size] * w1
+            + ext[2 * d:2 * d + size] * w2 + b_dw)
+
+    # ---- pass B1: gLN2 backward scalars + output-side param grads;
+    # gy2 is stashed in gz2s (overwritten with g_z2 in pass B2)
+    s2a = 0.0
+    s2b = 0.0
+    for start, size in _chunk_bounds(t_total, tile):
+        z2 = z2s_ref[start:start + size, :]
+        h2 = jnp.where(z2 >= 0, z2, a2 * z2)
+        hh2 = (h2 - mean2) * rstd2
+        gy2 = jnp.dot(gskip_ref[0, start:start + size, :],
+                      w_skip_ref[...].T,
+                      preferred_element_type=jnp.float32)
+        if not last:
+            gy2 = gy2 + jnp.dot(gres_ref[0, start:start + size, :],
+                                w_res_ref[...].T,
+                                preferred_element_type=jnp.float32)
+        gz2s_ref[start:start + size, :] = gy2
+        ghh2 = gy2 * g2
+        s2a += jnp.sum(ghh2)
+        s2b += jnp.sum(ghh2 * hh2)
+        dg2_ref[...] += jnp.sum(gy2 * hh2, axis=0, keepdims=True)
+        dbe2_ref[...] += jnp.sum(gy2, axis=0, keepdims=True)
+        y2 = (hh2 * g2 + be2_ref[...].astype(jnp.float32)) \
+            .astype(x_ref.dtype)
+        gsk = gskip_ref[0, start:start + size, :]
+        dwskip_ref[...] += jnp.dot(y2.T, gsk,
+                                   preferred_element_type=jnp.float32)
+        dbskip_ref[...] += jnp.sum(gsk.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+        if not last:
+            gr = gres_ref[0, start:start + size, :]
+            dwres_ref[...] += jnp.dot(y2.T, gr,
+                                      preferred_element_type=jnp.float32)
+            dbres_ref[...] += jnp.sum(gr.astype(jnp.float32), axis=0,
+                                      keepdims=True)
+
+    # ---- pass B2: g_z2 (overwrites gy2 in gz2s) + depthwise grads
+    da2_acc = 0.0
+    # accumulate dw_dw locally (sub-tile row-slice stores into the
+    # (3, H) output block are not 8-aligned, which Mosaic rejects)
+    dwdw0 = jnp.zeros((1, n_hidden), jnp.float32)
+    dwdw1 = jnp.zeros((1, n_hidden), jnp.float32)
+    dwdw2 = jnp.zeros((1, n_hidden), jnp.float32)
+    for start, size in _chunk_bounds(t_total, tile):
+        z2 = z2s_ref[start:start + size, :]
+        h2 = jnp.where(z2 >= 0, z2, a2 * z2)
+        hh2 = (h2 - mean2) * rstd2
+        gy2 = gz2s_ref[start:start + size, :]
+        ghh2 = gy2 * g2
+        gh2 = rstd2 * (ghh2 - (s2a + hh2 * s2b) * inv_n)
+        da2_acc += jnp.sum(gh2 * jnp.minimum(z2, 0.0))
+        gz2 = jnp.where(z2 >= 0, gh2, a2 * gh2)
+        gz2s_ref[start:start + size, :] = gz2
+        # dw_dw[j] = sum_t g_z2[t] * y1[t + (j-1)d]
+        y1_ext = _halo(y1s_ref, start - d, size + 2 * d)
+        dwdw0 += jnp.sum(gz2 * y1_ext[:size], axis=0, keepdims=True)
+        dwdw1 += jnp.sum(gz2 * y1_ext[d:d + size], axis=0,
+                         keepdims=True)
+        dwdw2 += jnp.sum(gz2 * y1_ext[2 * d:2 * d + size], axis=0,
+                         keepdims=True)
+        dbdw_ref[...] += jnp.sum(gz2, axis=0, keepdims=True)
+    dwdw_ref[...] += jnp.concatenate([dwdw0, dwdw1, dwdw2], axis=0)
+
+    def gy1_span(start, size):
+        """g_y1[tau] = w0 g_z2[tau+d] + w1 g_z2[tau] + w2 g_z2[tau-d]."""
+        ext = _halo(gz2s_ref, start - d, size + 2 * d)
+        return (w0 * ext[2 * d:2 * d + size] + w1 * ext[d:d + size]
+                + w2 * ext[:size])
+
+    # ---- pass B3a: gLN1 backward scalars
+    s1a = 0.0
+    s1b = 0.0
+    for start, size in _chunk_bounds(t_total, tile):
+        gy1 = gy1_span(start, size)
+        z1 = z1s_ref[start:start + size, :]
+        h1 = jnp.where(z1 >= 0, z1, a1 * z1)
+        hh1 = (h1 - mean1) * rstd1
+        dg1_ref[...] += jnp.sum(gy1 * hh1, axis=0, keepdims=True)
+        dbe1_ref[...] += jnp.sum(gy1, axis=0, keepdims=True)
+        ghh1 = gy1 * g1
+        s1a += jnp.sum(ghh1)
+        s1b += jnp.sum(ghh1 * hh1)
+
+    # ---- pass B3b: input-side grads
+    da1_acc = 0.0
+    for start, size in _chunk_bounds(t_total, tile):
+        gy1 = gy1_span(start, size)
+        z1 = z1s_ref[start:start + size, :]
+        h1 = jnp.where(z1 >= 0, z1, a1 * z1)
+        hh1 = (h1 - mean1) * rstd1
+        ghh1 = gy1 * g1
+        gh1 = rstd1 * (ghh1 - (s1a + hh1 * s1b) * inv_n)
+        gz1 = jnp.where(z1 >= 0, gh1, a1 * gh1)
+        da1_acc += jnp.sum(gh1 * jnp.minimum(z1, 0.0))
+        dwin_ref[...] += jnp.dot(
+            x_ref[0, start:start + size, :].astype(jnp.float32).T, gz1,
+            preferred_element_type=jnp.float32)
+        dbin_ref[...] += jnp.sum(gz1, axis=0, keepdims=True)
+        dx = jnp.dot(gz1.astype(x_ref.dtype), w_in_ref[...].T,
+                     preferred_element_type=jnp.float32)
+        if not last:
+            dx = dx + gres_ref[0, start:start + size, :] \
+                .astype(jnp.float32)
+        dx_ref[0, start:start + size, :] = dx.astype(dx_ref.dtype)
+
+    da_ref[0, 0] += da1_acc
+    da_ref[0, 1] += da2_acc
+
+
 def _bwd_pallas(x, params, stats, g_res, g_skip, dilation, last, tile,
                 interpret=False):
     (w_in, b_in, a1, g1, be1, w_dw, b_dw, a2, g2, be2,
@@ -483,8 +810,10 @@ def _bwd_pallas(x, params, stats, g_res, g_skip, dilation, last, tile,
     def row(shape):
         return pl.BlockSpec(shape, lambda b: (0,) * len(shape))
 
+    aligned = dilation % 8 == 0
     kernel = functools.partial(
-        _bwd_kernel, dilation=dilation, last=last, tile=tile)
+        _bwd_kernel if aligned else _bwd_kernel_rc,
+        dilation=dilation, last=last, tile=tile)
     f32 = jnp.float32
     outs = pl.pallas_call(
         kernel,
@@ -541,9 +870,17 @@ def _bwd_pallas(x, params, stats, g_res, g_skip, dilation, last, tile,
             jax.ShapeDtypeStruct((n_hidden, n_skip), f32),
             jax.ShapeDtypeStruct((1, n_skip), f32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((_round8(t_total), n_hidden), f32),   # z1
+            pltpu.VMEM((_round8(t_total), n_hidden), f32),   # y1
+            pltpu.VMEM((_round8(t_total), n_hidden), f32),   # z2 (=h2)
+            pltpu.VMEM((_round8(t_total), n_hidden), f32),   # gy2/gz2
+        ] if aligned else [],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=_cost(batch, t_total, n_in, n_hidden,
+                            n_res, n_skip, forward=False),
     )(x, g_res, g_skip, stats, w_in, b_in.reshape(1, -1), alphas,
       g1.reshape(1, -1), be1.reshape(1, -1), w_dw, b_dw.reshape(1, -1),
       g2.reshape(1, -1), be2.reshape(1, -1), w_res, w_skip)
@@ -566,8 +903,7 @@ def _bwd_pallas(x, params, stats, g_res, g_skip, dilation, last, tile,
 
 
 # ---------------------------------------------------------------------------
-# public op with custom VJP (backward = jnp recompute; a fused Pallas
-# backward can slot in behind the same signature)
+# public op with custom VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def tcn_block_fused(x, params, dilation, last, tile=1024,
