@@ -81,9 +81,15 @@ def _costs_of(compiled):
             float(ca.get('bytes accessed', 0.0)))
 
 
+def _progress(msg):
+    print(f'# [{time.strftime("%H:%M:%S")}] {msg}', file=sys.stderr,
+          flush=True)
+
+
 def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
     """Returns a result dict, or None for unsupported (multi-optimizer)
     architectures."""
+    _progress(f'{arch}: init')
     model = ModelRegistry.get(arch)(**(arch_kwargs or {}))
     batch_size = ARCH_BATCH.get(arch, BATCH)
     if arch == 'tfgridnet':
@@ -122,6 +128,15 @@ def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
+    # strong-type every leaf up front: weak-typed leaves in the carried
+    # optimizer state used to shift the jit signature over the first
+    # 2-3 calls, forcing recompiles (measured round 2: 3 distinct
+    # signatures, ~2x the compile budget). convert_element_type always
+    # yields strong types, so the scan carry is a fixed point from the
+    # first call.
+    state = jax.tree.map(
+        lambda x: jax.lax.convert_element_type(x, x.dtype), state)
+
     def train_step(state, _):
         rng, step_rng = jax.random.split(state['rng'])
 
@@ -142,34 +157,36 @@ def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
         params = optax.apply_updates(state['params'], updates)
         return {'params': params, 'opt_state': opt_state, 'rng': rng}, loss
 
-    @jax.jit
     def run(state):
         return jax.lax.scan(train_step, state, None, length=n_steps)
 
-    # FLOPs from a compiled single step FIRST (not the scan: XLA's cost
-    # analysis counts a loop body once, not per trip). This must happen
-    # before the timed executable warms up: compiling another
-    # executable between warmup and timing de-prioritizes the cached
-    # one on the tunneled backend (measured: 88 -> 600 ms/step).
+    # ONE compile per arch (round 2 compiled a second cost-analysis
+    # executable, doubling the compile budget — 880 s over 6 archs —
+    # which is why the driver bench timed out). The AOT executable
+    # serves both the timing loop and the cost analysis; XLA counts a
+    # scan body once, so its FLOPs/bytes are per-step figures (plus
+    # negligible outer-graph noise).
+    _progress(f'{arch}: lowering+compile')
+    t0 = time.perf_counter()
+    compiled = jax.jit(run).lower(state).compile()
+    compile_s = time.perf_counter() - t0
+    _progress(f'{arch}: compiled in {compile_s:.1f}s')
     try:
-        flops_per_step, bytes_per_step = _costs_of(
-            jax.jit(train_step).lower(state, None).compile())
+        flops_per_step, bytes_per_step = _costs_of(compiled)
     except Exception as e:  # cost analysis unsupported on some backends
         print(f'# {arch}: cost_analysis failed: {e}', file=sys.stderr)
         flops_per_step = bytes_per_step = None
 
-    # warm up to the jit-signature fixed point: weak-type churn in the
-    # carried optimizer state can trigger recompiles on the first 2-3
-    # calls (measured: 3 distinct signatures before stabilizing)
-    compile_s = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        state, losses = run(state)
-        float(losses[-1])
-        compile_s += time.perf_counter() - t0
+    # one warmup call (first dispatch pays one-time transfers), then
+    # the timed call; scalar loss fetch = sync fence (NEVER fetch
+    # arrays here: d2h on the tunneled backend is ~0.08 MB/s)
+    _progress(f'{arch}: warmup dispatch')
+    state, losses = compiled(state)
+    float(losses[-1])
+    _progress(f'{arch}: timing')
 
     t0 = time.perf_counter()
-    state, losses = run(state)
+    state, losses = compiled(state)
     float(losses[-1])                   # host fetch = sync fence
     step_s = (time.perf_counter() - t0) / n_steps
 

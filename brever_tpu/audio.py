@@ -255,14 +255,30 @@ def write_flac(file, data, samplerate):
 
 def flac_info(file):
     from . import flac
-    if isinstance(file, (str, os.PathLike)):
-        with open(file, 'rb') as f:
-            buf = f.read(64 * 1024)
-    else:
+
+    def read_prefix(n):
+        if isinstance(file, (str, os.PathLike)):
+            with open(file, 'rb') as f:
+                return f.read(n)
         pos = file.tell()
-        buf = file.read(64 * 1024)
+        buf = file.read(n)
         file.seek(pos)
-    info, _ = flac.parse_header(buf)
+        return buf
+
+    # the metadata chain (PADDING/pictures/...) can extend past any
+    # fixed prefix; retry with a growing window until the STREAMINFO
+    # parse no longer runs off the end of the buffer
+    n = 64 * 1024
+    while True:
+        buf = read_prefix(n)
+        try:
+            info, _ = flac.parse_header(buf)
+            break
+        except flac.FlacError as e:
+            if 'truncated' in str(e) and len(buf) == n:
+                n *= 4
+                continue
+            raise
     return AudioInfo(info['total_samples'], info['channels'],
                      info['sample_rate'])
 

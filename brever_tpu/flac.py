@@ -230,11 +230,17 @@ def parse_header(buf):
     pos = 4
     info = None
     while True:
+        if pos + 4 > len(buf):
+            raise FlacError('truncated metadata block header')
         header = buf[pos]
         btype = header & 0x7F
         length = int.from_bytes(buf[pos + 1:pos + 4], 'big')
+        if pos + 4 + length > len(buf):
+            raise FlacError('truncated metadata block body')
         body = buf[pos + 4:pos + 4 + length]
         if btype == 0:
+            if length < 34:
+                raise FlacError('short STREAMINFO block')
             info = _parse_streaminfo(body)
         pos += 4 + length
         if header & 0x80:

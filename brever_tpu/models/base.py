@@ -146,6 +146,13 @@ class BreverBaseModel:
         """
         return sources
 
+    #: optional per-item *host-side* pre-processing for the dataloader
+    #: (numpy in, array-or-tuple out). Unlike :meth:`transform` — which
+    #: is traced into the jitted step so XLA fuses it with the model —
+    #: this hook is for work that must stay on host (e.g. MetricGAN's
+    #: per-item metric precompute, reference metricganokd.py:175-183).
+    loader_transform = None
+
     def loss(self, variables, batch, lengths, rng, train=True):
         """Per-item loss vector ``(batch,)`` (or dict of vectors)."""
         raise NotImplementedError

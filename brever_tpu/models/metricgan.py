@@ -11,12 +11,16 @@ online knowledge distillation between generators; discriminator trained
 on noisy / enhanced / SNR-augmented samples.
 
 TPU notes: the metric-in-the-loop scores (the discriminator's
-regression targets) are host computations — they run through
-``jax.pure_callback`` inside the jitted step, overlapping with device
-compute. The reference's ``precompute_stft``/``precompute_metric``
-worker options are accepted for API parity but the STFT always runs on
-device (it is free there) and only the noisy score could be
-precomputed; both flags are no-ops here.
+regression targets) are host computations, run between jitted phases.
+``precompute_metric`` moves the noisy-vs-clean score into the
+dataloader (``loader_transform``, threaded/overlapped with training)
+so each epoch only scores *enhanced* and augmented candidates —
+reference behavior (metricganokd.py:175-183). ``precompute_stft`` is
+accepted for API parity but is a deliberate no-op: the reference
+precomputes STFTs because a torch CPU STFT in the worker is cheaper
+than in the loop; here the STFT is traced into the jitted step where
+XLA fuses it with the model (precomputing would *add* host->device
+traffic).
 
 The default target metric is ``pesq`` like the reference, scored by
 the in-repo ITU-T P.862 implementation (:mod:`brever_tpu.pesq`);
@@ -214,9 +218,9 @@ class MetricGANOKD(BreverBaseModel):
         self.grad_clip = grad_clip
         self.fs = fs
         self._score = _host_metrics(self.target_metrics, fs)
-        # precompute flags accepted for API parity; the STFT always runs
-        # on device and metric scores go through host callbacks
-        del precompute_stft, precompute_metric
+        self.precompute_metric = precompute_metric
+        # precompute_stft accepted for API parity; see module docstring
+        del precompute_stft
         del adversarial_loss, kd_loss  # MSE only (reference default)
 
     # ------------------------------------------------------------------
@@ -261,6 +265,25 @@ class MetricGANOKD(BreverBaseModel):
     def transform(self, sources):
         return sources.mean(axis=-2)  # binaural -> monaural
 
+    @property
+    def loader_transform(self):
+        """Per-item precompute for the dataloader workers: mono mixdown
+        + the noisy-vs-clean metric score (reference
+        metricganokd.py:175-183).  Host/numpy only — runs threaded in
+        the loader, overlapped with device compute, so the training
+        loop never re-scores the unchanged noisy signal."""
+        if not self.precompute_metric:
+            return None
+
+        def fn(sources):
+            mono = np.asarray(sources, dtype=np.float32).mean(axis=-2)
+            score = self._score(
+                mono[0:1], mono[1:2],
+                np.array([mono.shape[-1]]))[0]
+            return mono, score
+
+        return fn
+
     # ------------------------------------------------------------------
 
     def _stft_mag_phase(self, x):
@@ -304,7 +327,10 @@ class MetricGANOKD(BreverBaseModel):
 
     def make_step_fns(self, tx):
         def split_batch(batch):
-            mono = self.transform(batch)
+            # batch is either raw (B, 2, ch, T), or, when the loader
+            # ran loader_transform, [mono (B, 2, T), noisy_score]
+            wavs = batch[0] if isinstance(batch, (tuple, list)) else batch
+            mono = self.transform(wavs) if wavs.ndim == 4 else wavs
             return mono[:, 0], mono[:, 1]  # noisy, clean
 
         def generator_losses(params, batch_stats, noisy_mag, clean_mag,
@@ -460,14 +486,21 @@ class MetricGANOKD(BreverBaseModel):
         def host_scores(state, batch, lengths):
             noisy_wav, clean_wav, enh_wavs, aug_wav = jit_candidates(
                 state, batch, lengths)
-            noisy_np = np.asarray(noisy_wav)
             clean_np = np.asarray(clean_wav)
             lengths_np = np.asarray(lengths)
             if lengths_np.ndim > 1:
                 lengths_np = lengths_np[:, 0]
+            if isinstance(batch, (tuple, list)):
+                # loader_transform already scored noisy-vs-clean per
+                # item; only enhanced/augmented candidates (which
+                # change every step) are scored here
+                noisy_score = jnp.asarray(batch[1], jnp.float32)
+            else:
+                noisy_score = jnp.asarray(
+                    self._score(np.asarray(noisy_wav), clean_np,
+                                lengths_np))
             scores = {
-                'noisy': jnp.asarray(
-                    self._score(noisy_np, clean_np, lengths_np)),
+                'noisy': noisy_score,
                 'enh': jnp.asarray(np.stack([
                     self._score(np.asarray(enh_wavs[k]), clean_np,
                                 lengths_np)

@@ -151,113 +151,15 @@ def _cost(batch, t, c_in, hidden, c_res, c_skip, forward):
 
 
 # ---------------------------------------------------------------------------
-# recompute-variant kernels (no scratch rows).  Used for dilations
-# that are not multiples of 8: scratch-based taps then need
+# recompute-variant BACKWARD kernel (no scratch rows).  Used for
+# dilations that are not multiples of 8: scratch-based taps then need
 # sublane-misaligned slices which Mosaic materializes as rotated
 # copies (measured 111 MB scoped VMEM for d=1 — does not fit).
-# These recompute every span from the VMEM-resident x instead;
-# ~2.5x the FLOPs of the scratch variant, same (minimal) HBM
-# traffic.  Numerics identical to the jnp twin.
-
-def _fwd_kernel_rc(x_ref, w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
-                w_dw_ref, b_dw_ref, g2_ref, be2_ref,
-                w_res_ref, b_res_ref, w_skip_ref, b_skip_ref,
-                res_ref, skip_ref, stats_ref,
-                *, dilation, last, tile):
-    """One grid step = one batch row, resident in VMEM."""
-    t_total = x_ref.shape[1]
-    d = dilation
-    a1 = a_ref[0, 0]
-    a2 = a_ref[0, 1]
-    inv_n = 1.0 / (t_total * w_in_ref.shape[1])
-
-    def h1_span(start, size):
-        """PReLU(x @ W_in + b) on a clamped [start, start+size)."""
-        lo = max(start, 0)
-        hi = min(start + size, t_total)
-        z = jnp.dot(x_ref[0, lo:hi, :], w_in_ref[...],
-                    preferred_element_type=jnp.float32)
-        z = z + b_in_ref[...].astype(jnp.float32)
-        return jnp.where(z >= 0, z, a1 * z)  # (hi-lo, H) f32
-
-    # ---- pass A: gLN1 statistics of h1
-    s1 = 0.0
-    q1 = 0.0
-    for start, size in _chunk_bounds(t_total, tile):
-        h = h1_span(start, size)
-        s1 += jnp.sum(h)
-        q1 += jnp.sum(h * h)
-    mean1 = s1 * inv_n
-    rstd1 = jax.lax.rsqrt(jnp.maximum(q1 * inv_n - mean1 * mean1, 0.0)
-                          + _EPS)
-
-    g1 = g1_ref[...].astype(jnp.float32)
-    be1 = be1_ref[...].astype(jnp.float32)
-
-    def y1_span(start, size):
-        """gLN1 output on [start, start+size); ZERO outside [0, T)
-        (the depthwise conv pads y1 with zeros, so padding must come
-        after normalization)."""
-        lo = max(start, 0)
-        hi = min(start + size, t_total)
-        y = (h1_span(lo, hi - lo) - mean1) * rstd1 * g1 + be1
-        if lo - start or start + size - hi:
-            y = jnp.pad(y, ((lo - start, start + size - hi), (0, 0)))
-        return y
-
-    w0 = w_dw_ref[0:1, :].astype(jnp.float32)
-    w1 = w_dw_ref[1:2, :].astype(jnp.float32)
-    w2 = w_dw_ref[2:3, :].astype(jnp.float32)
-    b_dw = b_dw_ref[...].astype(jnp.float32)
-
-    def h2_span(start, size):
-        """PReLU(depthwise(y1))[start:start+size)."""
-        ext = y1_span(start - d, size + 2 * d)
-        z = (ext[:size] * w0 + ext[d:d + size] * w1
-             + ext[2 * d:2 * d + size] * w2 + b_dw)
-        return jnp.where(z >= 0, z, a2 * z)
-
-    # ---- pass B: gLN2 statistics of h2
-    s2 = 0.0
-    q2 = 0.0
-    for start, size in _chunk_bounds(t_total, tile):
-        h = h2_span(start, size)
-        s2 += jnp.sum(h)
-        q2 += jnp.sum(h * h)
-    mean2 = s2 * inv_n
-    rstd2 = jax.lax.rsqrt(jnp.maximum(q2 * inv_n - mean2 * mean2, 0.0)
-                          + _EPS)
-
-    g2 = g2_ref[...].astype(jnp.float32)
-    be2 = be2_ref[...].astype(jnp.float32)
-    out_dtype = res_ref.dtype
-
-    # ---- pass C: outputs
-    for start, size in _chunk_bounds(t_total, tile):
-        y2 = ((h2_span(start, size) - mean2) * rstd2 * g2 + be2) \
-            .astype(out_dtype)
-        skip_ref[0, start:start + size, :] = (
-            jnp.dot(y2, w_skip_ref[...],
-                    preferred_element_type=jnp.float32)
-            + b_skip_ref[...].astype(jnp.float32)
-        ).astype(out_dtype)
-        if last:
-            res_ref[0, start:start + size, :] = jnp.zeros(
-                (size, res_ref.shape[2]), out_dtype)
-        else:
-            res_ref[0, start:start + size, :] = (
-                x_ref[0, start:start + size, :].astype(jnp.float32)
-                + jnp.dot(y2, w_res_ref[...],
-                          preferred_element_type=jnp.float32)
-                + b_res_ref[...].astype(jnp.float32)
-            ).astype(out_dtype)
-
-    b = pl.program_id(0)
-    stats_ref[b, 0] = mean1
-    stats_ref[b, 1] = rstd1
-    stats_ref[b, 2] = mean2
-    stats_ref[b, 3] = rstd2
-
+# Recomputes every span from the VMEM-resident x instead; ~2.5x the
+# FLOPs of the scratch variant, same (minimal) HBM traffic.  Numerics
+# identical to the jnp twin.  (The FORWARD always uses the scratch-row
+# kernel: its scratch reads are 8-aligned by construction, see
+# y1_span in _fwd_kernel.)
 
 def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
                 w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,

@@ -423,6 +423,34 @@ def pesq_batch(fs, ref, deg, mode='wb', lengths=None, n_processor=None):
         raise ValueError('ref must be 1D or 2D')
     if n_processor <= 1 or len(jobs) == 1:
         return [_pesq_inner(j) for j in jobs]
-    ctx = multiprocessing.get_context('fork')
-    with ctx.Pool(min(n_processor, len(jobs))) as pool:
-        return pool.map(_pesq_inner, jobs)
+    pool = _get_pool(min(n_processor, len(jobs)))
+    if pool is None:
+        return [_pesq_inner(j) for j in jobs]
+    return pool.map(_pesq_inner, jobs)
+
+
+# persistent spawn-context pool: forking a process that already holds
+# a JAX/TPU runtime is a deadlock hazard (the child inherits mutexes
+# of the runtime's threads), and a fresh pool per validation batch
+# would pay worker startup every call. Spawned workers import only
+# numpy (this module has no jax import), so startup is cheap and paid
+# once per training run.
+_POOL = None
+_POOL_SIZE = 0
+
+
+def _get_pool(n):
+    global _POOL, _POOL_SIZE
+    if _POOL is not None and _POOL_SIZE >= n:
+        return _POOL
+    if _POOL is not None:
+        _POOL.terminate()
+        _POOL = None
+    try:
+        ctx = multiprocessing.get_context('spawn')
+        _POOL = ctx.Pool(n)
+        _POOL_SIZE = n
+    except (OSError, ValueError):  # scoring still works, just serial
+        _POOL = None
+        _POOL_SIZE = 0
+    return _POOL

@@ -115,6 +115,13 @@ class BreverTrainer:
         self.ignore_checkpoint = ignore_checkpoint
         self.preload = preload
         self.use_wandb = use_wandb and wandb is not None
+        if use_wandb and wandb is None:
+            logging.warning('use_wandb=True but wandb is not installed; '
+                            'W&B logging disabled')
+        # per-invocation W&B resume id; set by scripts/train_model.py
+        # from --wandb-run-id (not a trainer config field: it must not
+        # enter the config hash, reference scripts/train_model.py:171)
+        self.wandb_run_id = None
         self.profile = profile
         # fail loudly at construction on unknown/unavailable metrics
         # instead of warning per validation batch
@@ -320,11 +327,39 @@ class BreverTrainer:
     # ------------------------------------------------------------------
     # main loop
 
+    def init_wandb(self):
+        """Start (or resume) the W&B run for this model directory.
+
+        Mirrors the reference's run management (scripts/
+        train_model.py:53-74): the run is named after the hashed model
+        directory, its files live inside it, and passing a run id
+        resumes that run after a preemption.  Login/entity come from
+        the environment (``WANDB_API_KEY``/``WANDB_MODE=offline``).
+        """
+        if not self.use_wandb or self.rank != 0:
+            return
+        if getattr(wandb, 'run', None) is not None:  # already active
+            return
+        config = None
+        cfg_path = os.path.join(self.model_dirpath, 'config.yaml')
+        if os.path.exists(cfg_path):
+            import yaml
+            with open(cfg_path) as f:
+                config = yaml.safe_load(f)
+        wandb.init(
+            config=config,
+            name=os.path.basename(os.path.normpath(self.model_dirpath)),
+            dir=self.model_dirpath,
+            id=self.wandb_run_id,
+            resume=self.wandb_run_id is not None,
+        )
+
     def run(self):
         os.makedirs(self.checkpoints_dir, exist_ok=True)
 
         logging.info(f'Mesh: {self.n_devices} device(s), '
                      f'{jax.process_count()} process(es)')
+        self.init_wandb()
 
         if os.path.exists(self.last_ckpt_path) \
                 and not self.ignore_checkpoint:

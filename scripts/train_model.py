@@ -33,6 +33,9 @@ def main():
     parser.add_argument('--multihost', action='store_true',
                         help='initialize jax.distributed for multi-host '
                         'training')
+    parser.add_argument('--wandb-run-id', default=None,
+                        help='W&B run id to resume after a preemption '
+                        '(reference scripts/train_model.py:171)')
     ModelArgParser.add_trainer_args(parser, required=False)
     args = parser.parse_args()
 
@@ -63,7 +66,13 @@ def main():
     model = model_cls(**config.model.to_dict())
 
     dataset_kwargs = config.dataset.to_dict()
-    train_dataset = BreverDataset(path=config.train_path, **dataset_kwargs)
+    # host-side per-item precompute (e.g. MetricGAN's noisy metric
+    # score) runs in the loader for the train set only, like the
+    # reference (train_model.py:104 vs :117); jnp transforms stay
+    # inside the jitted step instead
+    train_dataset = BreverDataset(path=config.train_path,
+                                  transform=model.loader_transform,
+                                  **dataset_kwargs)
     val_kwargs = dict(dataset_kwargs)
     val_dataset = BreverDataset(path=config.val_path, **val_kwargs)
 
@@ -81,6 +90,7 @@ def main():
         model_dirpath=model_dir,
         **trainer_kwargs,
     )
+    trainer.wandb_run_id = args.wandb_run_id
     trainer.run()
     trainer.loss_logger.save()
     trainer.loss_logger.plot()

@@ -126,6 +126,38 @@ def test_channel_decorrelation_decode(ch_code):
         np.testing.assert_allclose(out[1], right / 32768.0, atol=1e-7)
 
 
+def test_truncated_header_raises_flacerror():
+    x = _speechish(4000)
+    enc = bytes(flac.encode(x, 16000))
+    for cut in (5, 7, 20):
+        with pytest.raises(flac.FlacError):
+            flac.parse_header(enc[:cut])
+
+
+def _with_padding_block(enc, pad_len):
+    """Insert a PADDING metadata block after STREAMINFO."""
+    _, first_frame = flac.parse_header(enc)
+    head = bytearray(enc[:first_frame])
+    head[4] &= 0x7F  # STREAMINFO is no longer the last block
+    pad = bytes([0x81]) + pad_len.to_bytes(3, 'big') + bytes(pad_len)
+    return bytes(head) + pad + enc[first_frame:]
+
+
+def test_flac_info_large_metadata(tmp_path):
+    """flac_info must survive a metadata chain longer than its initial
+    64 KB prefix read (ADVICE r2: large PADDING/picture blocks)."""
+    x = _speechish(2000)
+    enc = _with_padding_block(bytes(flac.encode(x, 16000)), 200_000)
+    dec, info = flac.decode(enc)
+    np.testing.assert_array_equal(dec, x.astype(np.int32))
+    path = tmp_path / 'padded.flac'
+    path.write_bytes(enc)
+    got = audio_info(str(path))
+    assert got.frames == 2000
+    assert got.channels == 2
+    assert got.samplerate == 16000
+
+
 def test_audio_dispatch_flac(tmp_path):
     """read/write/info through the audio.py extension dispatch."""
     x = _speechish(12000).astype(np.float32) / 32768.0

@@ -62,6 +62,54 @@ def test_ffnn_training_is_deterministic(tmp_path):
     np.testing.assert_array_equal(results[0], results[1])
 
 
+def test_wandb_run_management(tmp_path, monkeypatch):
+    """use_wandb starts a run named after the model dir and logs per
+    epoch; a run id resumes (reference scripts/train_model.py:53-74)."""
+    import brever_tpu.training as training_mod
+
+    class StubWandb:
+        run = None
+
+        def __init__(self):
+            self.init_calls = []
+            self.log_calls = []
+
+        def init(self, **kwargs):
+            self.init_calls.append(kwargs)
+            self.run = object()
+
+        def log(self, payload, step=None):
+            self.log_calls.append((payload, step))
+
+    stub = StubWandb()
+    monkeypatch.setattr(training_mod, 'wandb', stub)
+    model_dir = tmp_path / 'abcd1234'
+    os.makedirs(model_dir)
+    model = ModelRegistry.get('ffnn')(hidden_layers=[32])
+    trainer = make_trainer(model_dir, model, use_wandb=True)
+    trainer.run()
+    assert len(stub.init_calls) == 1
+    call = stub.init_calls[0]
+    assert call['name'] == 'abcd1234'
+    assert call['dir'] == str(model_dir)
+    assert call['resume'] is False
+    assert len(stub.log_calls) == trainer.epochs
+    assert all(step is not None for _, step in stub.log_calls)
+
+    # resume path: a run id flips resume on and is passed through
+    stub2 = StubWandb()
+    monkeypatch.setattr(training_mod, 'wandb', stub2)
+    model_dir2 = tmp_path / 'efgh5678'
+    os.makedirs(model_dir2)
+    trainer2 = make_trainer(
+        model_dir2, ModelRegistry.get('ffnn')(hidden_layers=[32]),
+        use_wandb=True)
+    trainer2.wandb_run_id = 'run-xyz'
+    trainer2.run()
+    assert stub2.init_calls[0]['id'] == 'run-xyz'
+    assert stub2.init_calls[0]['resume'] is True
+
+
 def test_ffnn_params_change_and_loss_finite(tmp_path):
     model = ModelRegistry.get('ffnn')(hidden_layers=[64])
     trainer = make_trainer(tmp_path, model)
@@ -354,6 +402,55 @@ def test_metricgan_trains(tmp_path):
     losses = trainer.loss_logger.train_loss
     assert isinstance(losses[0], dict)
     assert set(losses[0]) == {'loss_g', 'loss_d'}
+    assert all(np.isfinite(v) for v in losses[0].values())
+
+
+@pytest.mark.slow
+def test_metricgan_precompute_metric(tmp_path):
+    """With precompute_metric, the loader scores noisy-vs-clean once
+    per item and the training loop never re-scores the noisy signal
+    (reference metricganokd.py:175-183)."""
+    from utils import DummyDataset
+    model = ModelRegistry.get('metricganokd')(
+        target_metrics=['stoi'], inference_metric='stoi',
+        generator_lstm_hidden_size=16, generator_fc_channels=[16],
+        discriminator_conv_channels=[4, 8],
+        discriminator_fc_channels=[8], precompute_metric=True)
+    scored_shapes = []
+    orig_score = model._score
+
+    def counting_score(deg, ref, lengths):
+        scored_shapes.append(np.asarray(deg).shape[0])
+        return orig_score(deg, ref, lengths)
+
+    model._score = counting_score
+    tf = model.loader_transform
+    assert tf is not None
+    item = np.random.RandomState(0).randn(2, 2, 9000).astype('float32')
+    mono, score = tf(item)
+    assert mono.shape == (2, 9000)
+    assert score.shape == (1,)
+    assert scored_shapes == [1]
+
+    scored_shapes.clear()
+    n_items = 6
+    trainer = make_trainer(
+        tmp_path, model, epochs=1,
+        train_dataset=DummyDataset(n_items=n_items, min_length=0.5,
+                                   max_length=1.0, transform=tf),
+        val_dataset=DummyDataset(n_items=2, min_length=0.5,
+                                 max_length=1.0, seed=7, transform=tf))
+    trainer.run()
+    # loader: one single-item call per item load; steps: exactly TWO
+    # batched calls per step (enhanced + augmented) — the third
+    # (noisy) call that the fallback path makes must not happen
+    n_steps = len(trainer.train_batch_sampler) \
+        + len(trainer.val_batch_sampler)
+    batched = [s for s in scored_shapes if s > 1]
+    single = [s for s in scored_shapes if s == 1]
+    assert len(batched) == 2 * n_steps
+    assert len(single) >= n_items
+    losses = trainer.loss_logger.train_loss
     assert all(np.isfinite(v) for v in losses[0].values())
 
 
