@@ -16,18 +16,115 @@ biases, i/f/g/o gate order) so parameter-count parity with the
 reference holds exactly.
 """
 
+import functools
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+#: scan unroll factor: fewer sequential XLA loop iterations (each
+#: costs fixed overhead on TPU) at the price of a bigger compiled
+#: body. Env-overridable for benchmarking experiments.
+DEFAULT_UNROLL = int(os.environ.get('BREVER_LSTM_UNROLL', '8'))
 
-def _lstm_cell(gates, h_prev, c_prev, w_hh):
-    """One LSTM step given precomputed input gates (i/f/g/o order)."""
-    gates = gates + h_prev @ w_hh
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
-    new_h = jax.nn.sigmoid(o) * jnp.tanh(c)
-    return new_h, c
+
+# ---------------------------------------------------------------------------
+# memory-lean LSTM scan (custom VJP)
+#
+# Autodiff through an LSTM scan saves every nonlinearity's
+# linearization point per step (~6 gate-sized arrays) to HBM in the
+# forward and re-reads them in the backward. This custom VJP saves
+# only the hidden and cell sequences (the hidden sequence is the
+# output, so the true extra cost is c_seq alone) and rebuilds the gate
+# activations in the backward with ONE large MXU matmul over all
+# timesteps — h_prev is known from the saved sequence, so the
+# recompute has no sequential dependency. The remaining reverse scan
+# carries only the (dh, dc) recurrences. Net effect: ~4x less
+# scan-residual HBM traffic at the price of MXU-cheap recompute FLOPs
+# (the flash-TCN trade applied to recurrence).
+
+def _lstm_scan_impl(gates_x, w_hh, unroll):
+    """gates_x: (T, ..., 4h) input-projected gates (i/f/g/o);
+    w_hh: (..., h, 4h) broadcastable against the row dims."""
+    n_hidden = w_hh.shape[-2]
+    shape = gates_x.shape[1:-1] + (n_hidden,)
+
+    def step(carry, gx):
+        h_prev, c_prev = carry
+        gates = gx + jnp.matmul(h_prev, w_hh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), (h, c)
+
+    init = (jnp.zeros(shape, gates_x.dtype),
+            jnp.zeros(shape, gates_x.dtype))
+    _, (h_seq, c_seq) = jax.lax.scan(step, init, gates_x, unroll=unroll)
+    return h_seq, c_seq
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def lstm_scan(gates_x, w_hh, unroll=DEFAULT_UNROLL):
+    h_seq, _ = _lstm_scan_impl(gates_x, w_hh, unroll)
+    return h_seq
+
+
+def _lstm_scan_fwd(gates_x, w_hh, unroll):
+    h_seq, c_seq = _lstm_scan_impl(gates_x, w_hh, unroll)
+    return h_seq, (gates_x, w_hh, h_seq, c_seq)
+
+
+def _lstm_scan_bwd(unroll, residuals, dh_seq):
+    gates_x, w_hh, h_seq, c_seq = residuals
+    zero = jnp.zeros_like(h_seq[:1])
+    h_prev = jnp.concatenate([zero, h_seq[:-1]], axis=0)
+    c_prev = jnp.concatenate([zero, c_seq[:-1]], axis=0)
+    # gate recompute for ALL timesteps in one MXU matmul (bit-identical
+    # contraction to the forward's per-step matmuls)
+    pre = gates_x + jnp.matmul(h_prev, w_hh)
+    i, f, g, o = jnp.split(pre, 4, axis=-1)
+    i = jax.nn.sigmoid(i)
+    f = jax.nn.sigmoid(f)
+    g = jnp.tanh(g)
+    o = jax.nn.sigmoid(o)
+    tc = jnp.tanh(c_seq)
+    w_hh_t = jnp.swapaxes(w_hh, -1, -2)
+
+    def bstep(carry, xs):
+        dh_rec, dc_rec = carry
+        dh_t, i_t, f_t, g_t, o_t, tc_t, cp_t = xs
+        dh = dh_t + dh_rec
+        do = dh * tc_t * o_t * (1 - o_t)
+        dc = dh * o_t * (1 - tc_t * tc_t) + dc_rec
+        di = dc * g_t * i_t * (1 - i_t)
+        df = dc * cp_t * f_t * (1 - f_t)
+        dg = dc * i_t * (1 - g_t * g_t)
+        dgates = jnp.concatenate([di, df, dg, do], axis=-1)
+        dh_prev = jnp.matmul(dgates, w_hh_t)
+        dc_prev = dc * f_t
+        return (dh_prev, dc_prev), dgates
+
+    init = (jnp.zeros_like(dh_seq[0]), jnp.zeros_like(dh_seq[0]))
+    _, dgates_seq = jax.lax.scan(
+        bstep, init, (dh_seq, i, f, g, o, tc, c_prev),
+        reverse=True, unroll=unroll)
+    # dW_hh = sum_t h_prev[t]^T dgates[t] — one batched MXU matmul.
+    # Expressed as moveaxis+reshape+matmul rather than a t-summing
+    # einsum: the einsum form triggered an XLA:TPU post-optimization
+    # layout ICE ("Expected instruction to have shape equal to
+    # f32[64,8]") in the full DCCRN backward graph.
+    lead = h_prev.shape[1:-2]
+    hp = jnp.moveaxis(h_prev, 0, -3).reshape(*lead, -1, h_prev.shape[-1])
+    dg = jnp.moveaxis(dgates_seq, 0, -3).reshape(
+        *lead, -1, dgates_seq.shape[-1])
+    dw_hh = jnp.matmul(
+        jnp.swapaxes(hp, -1, -2), dg,
+        preferred_element_type=jnp.float32).astype(w_hh.dtype)
+    return dgates_seq, dw_hh
+
+
+lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
 
 
 class LSTM(nn.Module):
@@ -40,7 +137,7 @@ class LSTM(nn.Module):
 
     hidden_size: int
     reverse: bool = False
-    unroll: int = 8
+    unroll: int = DEFAULT_UNROLL
 
     @nn.compact
     def __call__(self, x):
@@ -59,22 +156,14 @@ class LSTM(nn.Module):
 
         # one big MXU matmul for the input path, outside the scan
         gates_x = x @ w_ih + (b_ih + b_hh)  # (B, T, 4h)
+        if self.reverse:
+            gates_x = jnp.flip(gates_x, axis=1)
         gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4h)
-
-        def step(carry, gx):
-            h_prev, c_prev = carry
-            new_h, c = _lstm_cell(gx, h_prev, c_prev, w_hh)
-            return (new_h, c), new_h
-
-        batch = x.shape[0]
-        init = (
-            jnp.zeros((batch, h), x.dtype),
-            jnp.zeros((batch, h), x.dtype),
-        )
-        _, hidden = jax.lax.scan(step, init, gates_x,
-                                 reverse=self.reverse,
-                                 unroll=self.unroll)
-        return jnp.swapaxes(hidden, 0, 1)  # (B, T, h)
+        hidden = lstm_scan(gates_x, w_hh, self.unroll)
+        hidden = jnp.swapaxes(hidden, 0, 1)  # (B, T, h)
+        if self.reverse:
+            hidden = jnp.flip(hidden, axis=1)
+        return hidden
 
 
 class BLSTM(nn.Module):
@@ -89,7 +178,7 @@ class BLSTM(nn.Module):
     """
 
     hidden_size: int
-    unroll: int = 8
+    unroll: int = DEFAULT_UNROLL
 
     @nn.compact
     def __call__(self, x):
@@ -109,24 +198,11 @@ class BLSTM(nn.Module):
 
         batch, time, _ = x.shape
         both = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # (2, B, T, F)
-        gates_x = jnp.einsum('dbtf,dfk->dbtk', both, w_ih) \
-            + (b_ih + b_hh)[:, None, None, :]
-        gates_x = jnp.moveaxis(gates_x, 2, 0)  # (T, 2, B, 4h)
-
-        def step(carry, gx):
-            h_prev, c_prev = carry  # (2, B, h)
-            gates = gx + jnp.einsum('dbh,dhk->dbk', h_prev, w_hh)
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c = jax.nn.sigmoid(f) * c_prev \
-                + jax.nn.sigmoid(i) * jnp.tanh(g)
-            new_h = jax.nn.sigmoid(o) * jnp.tanh(c)
-            return (new_h, c), new_h
-
-        init = (
-            jnp.zeros((2, batch, h), x.dtype),
-            jnp.zeros((2, batch, h), x.dtype),
-        )
-        _, hidden = jax.lax.scan(step, init, gates_x, unroll=self.unroll)
+        # einsum emits the scan layout (T, 2, B, 4h) directly — a
+        # separate moveaxis would be a full HBM copy of the gate array
+        gates_x = jnp.einsum('dbtf,dfk->tdbk', both, w_ih) \
+            + (b_ih + b_hh)[None, :, None, :]
+        hidden = lstm_scan(gates_x, w_hh, self.unroll)  # (T, 2, B, h)
         fwd = jnp.moveaxis(hidden[:, 0], 0, 1)            # (B, T, h)
         bwd = jnp.flip(jnp.moveaxis(hidden[:, 1], 0, 1), axis=1)
         return jnp.concatenate([fwd, bwd], axis=-1)

@@ -43,6 +43,7 @@ CPU path (golden-value tests) always uses the jnp twin.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +69,12 @@ MAX_FUSED_T = 12288
 # test hook: force the fused path through the Pallas interpreter on
 # CPU (parity tests exercise the exact model integration off-TPU)
 FORCE_INTERPRET = False
+
+#: default time-chunk length of the VMEM passes. Larger tiles unroll
+#: fewer chunks per pass (faster Mosaic compiles, fewer loop
+#: boundaries); smaller tiles shrink live temporaries. Overridable for
+#: experiments via BREVER_TCN_TILE.
+DEFAULT_TILE = int(os.environ.get('BREVER_TCN_TILE', '1024'))
 
 
 def pallas_tcn_available():
@@ -808,8 +815,10 @@ def _bwd_pallas(x, params, stats, g_res, g_skip, dilation, last, tile,
 # public op with custom VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def tcn_block_fused(x, params, dilation, last, tile=1024,
+def tcn_block_fused(x, params, dilation, last, tile=None,
                     interpret=None):
+    if tile is None:
+        tile = DEFAULT_TILE
     if interpret is None:
         interpret = FORCE_INTERPRET
     res, skip, _ = _fwd_pallas(x, params, dilation, last, tile,
@@ -820,6 +829,8 @@ def tcn_block_fused(x, params, dilation, last, tile=1024,
 
 
 def _fused_fwd(x, params, dilation, last, tile, interpret):
+    if tile is None:
+        tile = DEFAULT_TILE
     if interpret is None:
         interpret = FORCE_INTERPRET
     res, skip, stats = _fwd_pallas(x, params, dilation, last, tile,
@@ -829,6 +840,8 @@ def _fused_fwd(x, params, dilation, last, tile, interpret):
 
 
 def _fused_bwd(dilation, last, tile, interpret, residuals, grads):
+    if tile is None:
+        tile = DEFAULT_TILE
     if interpret is None:
         interpret = FORCE_INTERPRET
     x, params, stats = residuals

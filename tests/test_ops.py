@@ -268,3 +268,66 @@ def test_pallas_stft_matches_jnp_interpret():
     assert got.shape == want.shape
     np.testing.assert_allclose(np.abs(got), np.abs(want), atol=2e-3)
     np.testing.assert_allclose(got.real, want.real, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# memory-lean LSTM scan (models/rnn.py custom VJP)
+
+def test_lstm_scan_custom_vjp_matches_autodiff():
+    """lstm_scan's backward (gate recompute from saved h/c + reverse
+    elementwise scan) must match differentiating the plain scan."""
+    import jax
+    from brever_tpu.models.rnn import _lstm_scan_impl, lstm_scan
+
+    rng = np.random.RandomState(0)
+    for shape, wshape in [((12, 5, 16), (16, 64)),       # LSTM (T,B,h)
+                          ((9, 2, 3, 16), (2, 16, 64))]:  # BLSTM dirs
+        gates_x = jnp.asarray(rng.randn(*shape[:-1], 64).astype('f'))
+        w_hh = jnp.asarray(rng.randn(*wshape).astype('f') * 0.2)
+
+        def loss_custom(gx, w):
+            return (lstm_scan(gx, w, 4) ** 2).sum()
+
+        def loss_plain(gx, w):
+            return (_lstm_scan_impl(gx, w, 4)[0] ** 2).sum()
+
+        np.testing.assert_allclose(
+            float(loss_custom(gates_x, w_hh)),
+            float(loss_plain(gates_x, w_hh)), rtol=1e-6)
+        gx_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(gates_x, w_hh)
+        gx_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(gates_x, w_hh)
+        np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_p),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_p),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_blstm_matches_torch_lstm():
+    """BLSTM output parity with torch nn.LSTM(bidirectional=True) on
+    shared weights (parameter layout contract)."""
+    import torch
+    from brever_tpu.models.rnn import BLSTM
+
+    rng = np.random.RandomState(1)
+    batch, time, feat, hidden = 2, 11, 8, 12
+    x = rng.randn(batch, time, feat).astype('float32')
+    mod = BLSTM(hidden_size=hidden)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    p = variables['params']
+
+    ref = torch.nn.LSTM(feat, hidden, batch_first=True,
+                        bidirectional=True)
+    with torch.no_grad():
+        for d, suffix in enumerate(['', '_reverse']):
+            getattr(ref, f'weight_ih_l0{suffix}').copy_(
+                torch.tensor(np.asarray(p['w_ih'][d]).T))
+            getattr(ref, f'weight_hh_l0{suffix}').copy_(
+                torch.tensor(np.asarray(p['w_hh'][d]).T))
+            getattr(ref, f'bias_ih_l0{suffix}').copy_(
+                torch.tensor(np.asarray(p['b_ih'][d])))
+            getattr(ref, f'bias_hh_l0{suffix}').copy_(
+                torch.tensor(np.asarray(p['b_hh'][d])))
+        want, _ = ref(torch.tensor(x))
+    got = mod.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(),
+                               rtol=1e-4, atol=1e-5)

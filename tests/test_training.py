@@ -499,19 +499,22 @@ GOLDEN_PARAMS = {
         0.018995529040694237, 0.020519014447927475, 0.0553530752658844,
         0.015269199386239052,
     ],
+    # dccrn/tfgridnet pins regenerated after the memory-lean LSTM
+    # scan (models/rnn.py lstm_scan custom VJP) — mathematically
+    # identical backward, different fp association order.
     'dccrn': [
-        0.00025679072, 0.0006672079,
-        2.171283e-05, -1.4974437e-05,
+        0.00023629991, 0.0006238401,
+        1.8297866e-05, 0.00017267224,
         0.037376665, -0.021786327,
         0.028836507, 0.037438635,
         0.119980976, -0.004849142,
     ],
     'tfgridnet': [
-        0.006724699, -0.003471953,
-        0.32104734, 0.13064216,
-        0.5514639, -0.1808034,
-        0.38389516, -0.2112317,
-        0.14836894, -0.19995262,
+        0.006724404, -0.0034712055,
+        0.32104728, 0.13064171,
+        0.55146426, -0.18080352,
+        0.38389459, -0.21123187,
+        0.14836894, -0.19995272,
     ],
     'sgmsepm': [
         0.00017847121, -0.00041266135,
