@@ -22,6 +22,7 @@ from brever_tpu.batching import SortedBatchSampler  # noqa: E402
 from brever_tpu.checkpoint import load_checkpoint  # noqa: E402
 from brever_tpu.config import get_config  # noqa: E402
 from brever_tpu.data import BreverDataLoader, BreverDataset  # noqa: E402
+from brever_tpu.evaluate import evaluate_dataset  # noqa: E402
 from brever_tpu.inspect import Path  # noqa: E402
 from brever_tpu.logger import set_logger  # noqa: E402
 from brever_tpu.metrics import MetricRegistry  # noqa: E402
@@ -62,7 +63,7 @@ def load_model(model_dir, checkpoint_path, cfg):
 def test_model(args, model, variables, cfg, test_path, score_file,
                checkpoint_path, metrics):
     import h5py
-    import jax.numpy as jnp
+    import jax
 
     checkpoint_name = os.path.basename(checkpoint_path)
     test_name = os.path.basename(os.path.normpath(test_path))
@@ -87,36 +88,26 @@ def test_model(args, model, variables, cfg, test_path, score_file,
     dataloader = BreverDataLoader(dataset, sampler,
                                   num_workers=args.workers)
 
-    scores = np.empty((len(dataset), len(metrics), 2))
-    i_mix = 0
-    for batch, lengths in dataloader:
-        inputs = jnp.asarray(batch[:, 0])          # (B, ch, samples)
-        target = batch[:, 1]                       # first target source
-        output = model.enhance(variables, inputs)
-        if output.ndim == 3:
-            output = output[:, 0]
-        output = np.asarray(output)
-        inputs_mono = np.asarray(batch[:, 0]).mean(-2)
-        target_mono = target.mean(-2)
-        n = batch.shape[0]
-        for i_metric, metric in enumerate(metrics):
-            fn = MetricRegistry.get(metric)
-            in_score = np.asarray(
-                fn(inputs_mono, target_mono, lengths=lengths))
-            out_score = np.asarray(
-                fn(output, target_mono, lengths=lengths))
-            scores[i_mix:i_mix + n, i_metric, 0] = in_score
-            scores[i_mix:i_mix + n, i_metric, 1] = out_score
-        if args.output_dir is not None:
-            from brever_tpu.audio import write_wav
-            os.makedirs(args.output_dir, exist_ok=True)
+    on_batch = None
+    if args.output_dir is not None:
+        from brever_tpu.audio import write_wav
+        os.makedirs(args.output_dir, exist_ok=True)
+
+        def on_batch(indices, inputs_mono, output, lengths):
             for name, data in [('input', inputs_mono), ('output', output)]:
-                for i in range(n):
+                for i, idx in enumerate(indices):
                     write_wav(
                         os.path.join(args.output_dir,
-                                     f'{i_mix + i:05d}_{name}.wav'),
+                                     f'{idx:05d}_{name}.wav'),
                         data[i][:lengths[i]], cfg.dataset.fs)
-        i_mix += n
+
+    # sharded evaluation: batches round-robin over processes, the
+    # forward sharded over local devices, scores allgather-merged
+    # (reference DDP eval, scripts/test_model.py:66-70,215-238)
+    scores = evaluate_dataset(model, variables, dataloader, metrics,
+                              len(dataset), on_batch=on_batch)
+    if jax.process_index() != 0:
+        return
 
     logging.info('Average delta scores:')
     for i_metric, metric in enumerate(metrics):
@@ -157,16 +148,12 @@ def main():
     parser.add_argument('--workers', type=int, default=0)
     args = parser.parse_args()
 
-    # drop metrics whose backing library is unavailable
-    metrics = []
-    for metric in args.metrics:
-        if metric == 'pesq':
-            try:
-                import pesq  # noqa: F401
-            except ImportError:
-                print('skipping pesq: library not installed')
-                continue
-        metrics.append(metric)
+    # all default metrics are built in (PESQ/STOI are from-scratch
+    # implementations in brever_tpu.pesq / brever_tpu.metrics); fail
+    # loudly on unknown names rather than silently dropping them
+    metrics = list(args.metrics)
+    for metric in metrics:
+        MetricRegistry.get(metric)
 
     for input_ in args.inputs:
         if not os.path.exists(input_):
