@@ -242,6 +242,7 @@ def estoi(x, y, fs=16000, batched=True, lengths=None):
 
 
 @MetricRegistry.register('pesq')
+@MetricRegistry.register('pesq_approx')
 def pesq(x, y, fs=16000, mode='wb', normalized=False, batched=True,
          lengths=None):
     """PESQ MOS-LQO (x = estimate, y = clean reference).
@@ -249,6 +250,20 @@ def pesq(x, y, fs=16000, mode='wb', normalized=False, batched=True,
     Scored by the in-repo ITU-T P.862/P.862.2 implementation
     (:mod:`brever_tpu.pesq` — the canonical C extension the reference
     binds, brever/metrics.py:47-99, is not installable here).
+
+    .. warning:: This implementation follows the published P.862
+       algorithm but is NOT bit-compatible with the ITU reference
+       code: Bark band edges and absolute thresholds are analytic
+       rather than the ITU tables, and time alignment estimates one
+       global delay (see the deviation list in
+       :mod:`brever_tpu.pesq`). Identical signals score the exact
+       canonical maxima and scores rank degradations consistently
+       (pinned by ``tests/test_metrics.py``), but absolute MOS-LQO
+       values should not be compared against numbers produced by the
+       canonical library. The metric is also registered as
+       ``pesq_approx`` so results can be labelled explicitly; the
+       ``pesq`` name is kept for reference CLI compatibility.
+
     ``batched=True`` runs items through a multiprocessing Pool like the
     reference's vendored ``pesq_batch`` (brever/metrics.py:153-213).
     ``normalized=True`` maps MOS-LQO onto [0, 1] using the published

@@ -204,3 +204,9 @@ def test_metric_golden_values(row):
         pesq_fn(16000, clean, noisy, 'wb'), g_wb, rtol=1e-9)
     np.testing.assert_allclose(
         pesq_fn(16000, clean, noisy, 'nb'), g_nb, rtol=1e-9)
+
+
+def test_pesq_approx_alias():
+    """The explicit deviation-labelled name resolves to the same
+    implementation as the compat 'pesq' registration."""
+    assert MetricRegistry.get('pesq_approx') is MetricRegistry.get('pesq')
