@@ -20,6 +20,7 @@ the initialized parameter pytree like the upstream ``rescale_module``.
 """
 
 import math
+import os
 
 import flax.linen as nn
 import jax
@@ -32,6 +33,183 @@ from .base import BreverBaseModel, ModelRegistry
 from .common import batch_norm
 
 
+# ---------------------------------------------------------------------------
+# space-to-depth lane packing
+#
+# The trunk of this architecture is 60-channel at full time resolution.
+# TPU tiles are (8 sublanes, 128 lanes) with the minor axis on lanes, so
+# a (B, T, 60) activation is stored — and moved through HBM — as
+# (B, T, 128): every byte-bound op pays 2.13x its logical traffic. The
+# fix is the classic space-to-depth transform: fold time pairs into
+# channels, (B, T, C) -> (B, T/2, 2C) with packed index c*2 + j
+# (c = logical channel, j = time phase), so the minor axis becomes 120
+# (or 240) and pads to 128 (256) instead.
+#
+# Every conv at the two full-resolution U-Net levels is re-expressed in
+# packed space by rearranging its LOGICAL kernel (parameter tree,
+# checkpoint format and the 21,253,921-param pin are unchanged): for a
+# logical conv y[s*t + k - p] the packed tap index solves
+# k = 2n - 2*p_p + j_i - s*j + p over the (output phase j, input phase
+# j_i) grid — a trace-time constant scatter of the logical kernel.
+# Batch norms keep per-logical-channel statistics by averaging the two
+# phase statistics (exact: equal counts).
+
+def _pack2(x):
+    """(B, T, C) -> (B, T//2, 2C), packed channel index = c*2 + j."""
+    b, t, c = x.shape
+    return x.reshape(b, t // 2, 2, c).transpose(0, 1, 3, 2) \
+        .reshape(b, t // 2, 2 * c)
+
+
+def _unpack2(x):
+    b, u, c2 = x.shape
+    return x.reshape(b, u, c2 // 2, 2).transpose(0, 1, 3, 2) \
+        .reshape(b, 2 * u, c2 // 2)
+
+
+def _packed_conv_kernel(w, stride, pad, pad_p, out_pack):
+    """Rearrange a logical conv kernel (K, Cin_g, Cout) into packed
+    space: (Kp, 2*Cin_g, 2*Cout) (or (Kp, 2*Cin_g, Cout) when the
+    output stays unpacked)."""
+    k_len, cin_g, cout = w.shape
+    s = stride
+    j_out = (0, 1) if out_pack else (0,)
+    kp_len = (k_len - 1 + 2 * pad_p + (s if out_pack else 0) - pad) // 2 + 1
+    wp = jnp.zeros((kp_len, cin_g, 2, cout, len(j_out)), w.dtype)
+    for n in range(kp_len):
+        for j in j_out:
+            for j_i in (0, 1):
+                k = 2 * n - 2 * pad_p + j_i - s * j + pad
+                if 0 <= k < k_len:
+                    wp = wp.at[n, :, j_i, :, j].set(w[k])
+    return wp.reshape(kp_len, 2 * cin_g, cout * len(j_out))
+
+
+class _PConv(nn.Module):
+    """Conv over packed tensors holding logical-shape parameters
+    (drop-in for ``nn.Conv`` at a packed call site: same param names,
+    shapes and initializers, so checkpoints are layout-independent)."""
+
+    features: int          # logical output channels
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+    use_bias: bool = True
+    out_pack: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1] // 2
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (self.kernel, cin // self.groups, self.features))
+        pad_p = (self.padding + 1) // 2
+        wp = _packed_conv_kernel(
+            w.astype(x.dtype), self.stride, self.padding, pad_p,
+            self.out_pack)
+        stride_p = self.stride if self.out_pack else self.stride // 2
+        y = jax.lax.conv_general_dilated(
+            x, wp, window_strides=(stride_p,),
+            padding=[(pad_p, pad_p)],
+            dimension_numbers=('NWC', 'WIO', 'NWC'),
+            feature_group_count=self.groups)
+        if self.use_bias:
+            b = self.param('bias', nn.initializers.zeros,
+                           (self.features,))
+            if self.out_pack:
+                b = jnp.repeat(b, 2)
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class _PConvTranspose(nn.Module):
+    """Transposed conv producing packed output (logical parameters)."""
+
+    features: int
+    kernel: int
+    stride: int
+    in_pack: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1] // 2 if self.in_pack else x.shape[-1]
+        w = self.param('kernel', nn.initializers.lecun_normal(),
+                       (self.kernel, cin, self.features))
+        b = self.param('bias', nn.initializers.zeros, (self.features,))
+        s = self.stride
+        k_len = self.kernel
+        # lax.conv_transpose('VALID') computes
+        # y[t] = sum_{t'} x[t'] W[K-1 - (t - s*t')]; the packed kernel
+        # entry for packed advance m = u - s_p*u' therefore lands at
+        # slot Kp-1-m and reads the logical tap W[K-1-a] with
+        # a = 2m + j - s*j_i (the phase-grid advance).
+        if self.in_pack:
+            kp_len = (k_len - 1 + s) // 2 + 1
+            wp = jnp.zeros((kp_len, cin, 2, self.features, 2), w.dtype)
+            for m in range(kp_len):
+                for j in (0, 1):
+                    for j_i in (0, 1):
+                        a = 2 * m + j - s * j_i
+                        if 0 <= a < k_len:
+                            wp = wp.at[kp_len - 1 - m, :, j_i, :, j] \
+                                .set(w[k_len - 1 - a])
+            wp = wp.reshape(kp_len, 2 * cin, 2 * self.features)
+            stride_p = s
+        else:
+            kp_len = (k_len - 1) // 2 + 1
+            wp = jnp.zeros((kp_len, cin, self.features, 2), w.dtype)
+            for m in range(kp_len):
+                for j in (0, 1):
+                    a = 2 * m + j
+                    if 0 <= a < k_len:
+                        wp = wp.at[kp_len - 1 - m, :, :, j] \
+                            .set(w[k_len - 1 - a])
+            wp = wp.reshape(kp_len, cin, 2 * self.features)
+            stride_p = s // 2
+        y = jax.lax.conv_transpose(
+            x, wp.astype(x.dtype), strides=(stride_p,), padding='VALID',
+            dimension_numbers=('NWC', 'WIO', 'NWC'))
+        return y + jnp.repeat(b, 2).astype(y.dtype)
+
+
+def packed_batch_norm(x, train, name, momentum=0.99, epsilon=1e-5):
+    """``batch_norm`` over a packed tensor with per-LOGICAL-channel
+    parameters and running statistics (phase statistics averaged —
+    exact, both phases count B*U elements)."""
+
+    class _PackedBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            c = x.shape[-1] // 2
+            scale = self.param('scale', nn.initializers.ones, (c,))
+            bias = self.param('bias', nn.initializers.zeros, (c,))
+            ra_mean = self.variable('batch_stats', 'mean',
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable('batch_stats', 'var',
+                                   lambda: jnp.ones((c,), jnp.float32))
+            if train:
+                x32 = x.astype(jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                m_p = x32.mean(axis=axes)          # (2C,)
+                m2_p = (x32 * x32).mean(axis=axes)
+                mean = m_p.reshape(c, 2).mean(-1)
+                var = m2_p.reshape(c, 2).mean(-1) - mean**2
+                if not self.is_initializing():
+                    ra_mean.value = momentum * ra_mean.value \
+                        + (1 - momentum) * mean
+                    ra_var.value = momentum * ra_var.value \
+                        + (1 - momentum) * var
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            inv = scale * jax.lax.rsqrt(var + epsilon)
+            out = (x.astype(jnp.float32)
+                   - jnp.repeat(mean, 2)) * jnp.repeat(inv, 2) \
+                + jnp.repeat(bias, 2)
+            return out.astype(x.dtype)
+
+    return _PackedBN(name=name)(x, train)
+
+
 class _BasicConv(nn.Module):
     features: int
     kernel: int = 1
@@ -40,14 +218,23 @@ class _BasicConv(nn.Module):
     relu: bool = True
     bn: bool = True
     use_bias: bool = False
+    pack: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
-        x = nn.Conv(self.features, (self.kernel,), strides=(self.stride,),
-                    padding=((self.padding, self.padding),),
-                    use_bias=self.use_bias, name='conv')(x)
-        if self.bn:
-            x = batch_norm(x, train, 'bn')
+        if self.pack:
+            x = _PConv(self.features, self.kernel, self.stride,
+                       self.padding, use_bias=self.use_bias,
+                       name='conv')(x)
+            if self.bn:
+                x = packed_batch_norm(x, train, 'bn')
+        else:
+            x = nn.Conv(self.features, (self.kernel,),
+                        strides=(self.stride,),
+                        padding=((self.padding, self.padding),),
+                        use_bias=self.use_bias, name='conv')(x)
+            if self.bn:
+                x = batch_norm(x, train, 'bn')
         if self.relu:
             x = nn.relu(x)
         return x
@@ -60,27 +247,47 @@ class _ResConBlock(nn.Module):
     growth1: float = 2
     growth2: float = 2
     kernel: int = 31
+    pack: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
         out1 = int(self.in_channels * self.growth1)
         out2 = int(self.in_channels * self.growth2)
-        h = nn.Conv(out1, (1,), use_bias=True, name='pw1')(x)
-        h = batch_norm(h, train, 'pw1_bn')
-        a, b = jnp.split(h, 2, axis=-1)
-        h = a * jax.nn.sigmoid(b)  # GLU over channels
-        pad = (self.kernel - 1) // 2
-        h = nn.Conv(self.in_channels, (self.kernel,),
-                    feature_group_count=self.in_channels,
-                    padding=((pad, pad),), use_bias=False,
-                    name='depthwise')(h)
-        h = batch_norm(h, train, 'dw_bn')
+        if self.pack:
+            bn = packed_batch_norm
+            pad = (self.kernel - 1) // 2
+            h = _PConv(out1, 1, use_bias=True, name='pw1')(x)
+            h = bn(h, train, 'pw1_bn')
+            # packed GLU: c-major packing keeps the logical halves
+            # contiguous, so the split is layout-transparent
+            a, b = jnp.split(h, 2, axis=-1)
+            h = a * jax.nn.sigmoid(b)
+            h = _PConv(self.in_channels, self.kernel, padding=pad,
+                       groups=self.in_channels, use_bias=False,
+                       name='depthwise')(h)
+        else:
+            bn = batch_norm
+            h = nn.Conv(out1, (1,), use_bias=True, name='pw1')(x)
+            h = bn(h, train, 'pw1_bn')
+            a, b = jnp.split(h, 2, axis=-1)
+            h = a * jax.nn.sigmoid(b)  # GLU over channels
+            pad = (self.kernel - 1) // 2
+            h = nn.Conv(self.in_channels, (self.kernel,),
+                        feature_group_count=self.in_channels,
+                        padding=((pad, pad),), use_bias=False,
+                        name='depthwise')(h)
+        h = bn(h, train, 'dw_bn')
         h = h * jax.nn.sigmoid(h)  # swish
-        h = nn.Conv(out2, (1,), use_bias=True, name='pw2')(h)
-        h = batch_norm(h, train, 'pw2_bn')
+        if self.pack:
+            h = _PConv(out2, 1, use_bias=True, name='pw2')(h)
+        else:
+            h = nn.Conv(out2, (1,), use_bias=True, name='pw2')(h)
+        h = bn(h, train, 'pw2_bn')
         h = h * jax.nn.sigmoid(h)
-        h = _BasicConv(out2, relu=False, name='out_conv')(h, train)
-        short = _BasicConv(out2, relu=False, name='shortcut')(x, train)
+        h = _BasicConv(out2, relu=False, pack=self.pack,
+                       name='out_conv')(h, train)
+        short = _BasicConv(out2, relu=False, pack=self.pack,
+                           name='shortcut')(x, train)
         return nn.relu(h + short)
 
 
@@ -228,6 +435,9 @@ class _MannerModule(nn.Module):
     head: int = 1
     segment_len: int = 64
     eps: float = 1e-3
+    #: space-to-depth packing of the two full-resolution levels (pure
+    #: layout optimization — parameters and math are unchanged)
+    pack: bool = True
 
     def _padded_length(self, length):
         for _ in range(self.depth):
@@ -250,9 +460,19 @@ class _MannerModule(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
         h = jnp.swapaxes(x, 1, 2)  # (B, T, 1)
 
-        h = nn.Conv(self.hidden, (3,), padding=((1, 1),),
-                    name='in_conv')(h)
-        h = batch_norm(h, train, 'in_bn')
+        # the two full-resolution levels run space-to-depth packed (see
+        # the module docstring above) — every tensor below carries
+        # (time/2, 2*channels) until the level-2 boundary
+        pk = self.pack
+        if pk:
+            b, t, _ = h.shape
+            h = h.reshape(b, t // 2, 2)  # pack Cin=1
+            h = _PConv(self.hidden, 3, padding=1, name='in_conv')(h)
+            h = packed_batch_norm(h, train, 'in_bn')
+        else:
+            h = nn.Conv(self.hidden, (3,), padding=((1, 1),),
+                        name='in_conv')(h)
+            h = batch_norm(h, train, 'in_bn')
         h = nn.relu(h)
         enc_out = h
 
@@ -263,12 +483,19 @@ class _MannerModule(nn.Module):
         for layer in range(self.depth):
             # encoder layer: strided down conv + ResCon (+ attention at
             # the deepest layer)
-            h = nn.Conv(in_ch, (self.kernel_size,),
-                        strides=(self.stride,), padding='VALID',
-                        name=f'enc_{layer}_down')(h)
-            h = batch_norm(h, train, f'enc_{layer}_bn')
+            if pk and layer <= 1:
+                h = _PConv(in_ch, self.kernel_size, self.stride,
+                           out_pack=(layer == 0),
+                           name=f'enc_{layer}_down')(h)
+            else:
+                h = nn.Conv(in_ch, (self.kernel_size,),
+                            strides=(self.stride,), padding='VALID',
+                            name=f'enc_{layer}_down')(h)
+            lvl_pk = pk and layer == 0
+            h = (packed_batch_norm if lvl_pk else batch_norm)(
+                h, train, f'enc_{layer}_bn')
             h = nn.relu(h)
-            h = _ResConBlock(in_ch, growth1=2, growth2=2,
+            h = _ResConBlock(in_ch, growth1=2, growth2=2, pack=lvl_pk,
                              name=f'enc_{layer}_rescon')(h, train)
             if layer == self.depth - 1:
                 h = _MultiviewAttention(
@@ -287,12 +514,19 @@ class _MannerModule(nn.Module):
             skip = skips.pop()
             h = h + skip[:, :h.shape[1], :]
             h = _ResConBlock(dec_in, growth1=2, growth2=0.5,
+                             pack=(pk and layer == 0),
                              name=f'dec_{layer}_rescon')(h, train)
             # transposed conv upsampling
-            h = nn.ConvTranspose(
-                dec_out, (self.kernel_size,), strides=(self.stride,),
-                padding='VALID', name=f'dec_{layer}_up')(h)
-            h = batch_norm(h, train, f'dec_{layer}_up_bn')
+            if pk and layer <= 1:
+                h = _PConvTranspose(dec_out, self.kernel_size,
+                                    self.stride, in_pack=(layer == 0),
+                                    name=f'dec_{layer}_up')(h)
+                h = packed_batch_norm(h, train, f'dec_{layer}_up_bn')
+            else:
+                h = nn.ConvTranspose(
+                    dec_out, (self.kernel_size,), strides=(self.stride,),
+                    padding='VALID', name=f'dec_{layer}_up')(h)
+                h = batch_norm(h, train, f'dec_{layer}_up_bn')
             h = nn.relu(h)
             if layer == self.depth - 1:
                 h = _MultiviewAttention(
@@ -300,13 +534,27 @@ class _MannerModule(nn.Module):
                     name=f'dec_{layer}_attn')(h, train)
 
         # mask gate
-        mask = jnp.tanh(nn.Conv(self.hidden, (1,), name='mask_tanh')(h)) \
-            * jax.nn.sigmoid(nn.Conv(self.hidden, (1,),
-                                     name='mask_sig')(h))
-        mask = nn.relu(nn.Conv(self.hidden, (1,), name='mask_out')(mask))
-        h = enc_out * mask
-        h = nn.Conv(self.out_channels, (3,), padding=((1, 1),),
-                    name='out_conv')(h)
+        if pk:
+            mask = jnp.tanh(
+                _PConv(self.hidden, 1, name='mask_tanh')(h)) \
+                * jax.nn.sigmoid(
+                    _PConv(self.hidden, 1, name='mask_sig')(h))
+            mask = nn.relu(
+                _PConv(self.hidden, 1, name='mask_out')(mask))
+            h = enc_out * mask
+            h = _PConv(self.out_channels, 3, padding=1,
+                       name='out_conv')(h)
+            h = _unpack2(h)  # (B, T, 1)
+        else:
+            mask = jnp.tanh(
+                nn.Conv(self.hidden, (1,), name='mask_tanh')(h)) \
+                * jax.nn.sigmoid(nn.Conv(self.hidden, (1,),
+                                         name='mask_sig')(h))
+            mask = nn.relu(nn.Conv(self.hidden, (1,),
+                                   name='mask_out')(mask))
+            h = enc_out * mask
+            h = nn.Conv(self.out_channels, (3,), padding=((1, 1),),
+                        name='out_conv')(h)
         out = jnp.swapaxes(h, 1, 2)[..., :length]
         return std * out
 
@@ -318,7 +566,12 @@ class MANNER(BreverBaseModel):
 
     def __init__(self):
         super().__init__()
-        self.module = _MannerModule()
+        # measured on v5e: whole-trunk packing regresses (158.8 ->
+        # 186.4 ms/step) — some packed convs lower worse than the lane
+        # padding they save; default off until the per-op profile
+        # isolates the win subset (see PERF.md)
+        self.module = _MannerModule(
+            pack=os.environ.get('BREVER_MANNER_PACK', '0') == '1')
         self.learning_rate = 1e-5
         self.max_lr = 1e-3
         self.loss_type = 'l1'

@@ -28,6 +28,17 @@ import jax.numpy as jnp
 #: body. Env-overridable for benchmarking experiments.
 DEFAULT_UNROLL = int(os.environ.get('BREVER_LSTM_UNROLL', '8'))
 
+#: scans at most this long are fully unrolled: the whole recurrence
+#: becomes straight-line code (no while-loop state machine), which XLA
+#: schedules dramatically better, and the compile-time cost is bounded
+#: by the scan length instead of the unroll knob. TF-GridNet's
+#: intra-band scans (~32 steps) live entirely under this threshold.
+FULL_UNROLL_MAX = int(os.environ.get('BREVER_LSTM_FULL_UNROLL', '64'))
+
+
+def _resolve_unroll(n_steps, unroll):
+    return n_steps if n_steps <= FULL_UNROLL_MAX else unroll
+
 
 # ---------------------------------------------------------------------------
 # memory-lean LSTM scan (custom VJP)
@@ -49,6 +60,7 @@ def _lstm_scan_impl(gates_x, w_hh, unroll):
     w_hh: (..., h, 4h) broadcastable against the row dims."""
     n_hidden = w_hh.shape[-2]
     shape = gates_x.shape[1:-1] + (n_hidden,)
+    unroll = _resolve_unroll(gates_x.shape[0], unroll)
 
     def step(carry, gx):
         h_prev, c_prev = carry
@@ -77,6 +89,7 @@ def _lstm_scan_fwd(gates_x, w_hh, unroll):
 
 def _lstm_scan_bwd(unroll, residuals, dh_seq):
     gates_x, w_hh, h_seq, c_seq = residuals
+    unroll = _resolve_unroll(dh_seq.shape[0], unroll)
     zero = jnp.zeros_like(h_seq[:1])
     h_prev = jnp.concatenate([zero, h_seq[:-1]], axis=0)
     c_prev = jnp.concatenate([zero, c_seq[:-1]], axis=0)

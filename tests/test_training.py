@@ -595,9 +595,15 @@ def test_golden_training_values(tmp_path, arch):
 
 
 @pytest.mark.slow
-def test_golden_training_values_manner(tmp_path):
+def test_golden_training_values_manner(tmp_path, monkeypatch):
     """MANNER exposes no size knobs (API parity with the reference's
-    bare __init__) so its golden pin trains the full 21M params."""
+    bare __init__) so its golden pin trains the full 21M params.
+
+    Pinned on the unpacked layout; the packed production layout is
+    proven equivalent (params, forward, stats, grads) by
+    tests/test_manner_pack.py, so the pin is layout-independent.
+    """
+    monkeypatch.setenv('BREVER_MANNER_PACK', '0')
     _run_golden(tmp_path, 'manner')
 
 
