@@ -56,10 +56,12 @@ def main():
     printed = False
 
     def emit():
-        head = results.get('convtasnet') or next(iter(results.values()))
+        head_arch = 'convtasnet' if 'convtasnet' in results \
+            else next(iter(results))
+        head = results[head_arch]
         device = head['device']
         print(json.dumps({
-            'metric': f"convtasnet_train_steps_per_sec (batch "
+            'metric': f"{head_arch}_train_steps_per_sec (batch "
                       f"{head['batch']} x {head['seconds_per_item']}s "
                       f"@ 16kHz, bf16, {device}; vs_baseline = MFU vs "
                       'dense-bf16 peak)',
