@@ -104,13 +104,14 @@ def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
         import dataclasses
         model.module = dataclasses.replace(model.module, remat=False)
         model.model.net = model.module
-    variables = model.init_variables(jax.random.PRNGKey(0))
+    # jitted init: eager flax init dispatches hundreds of small ops,
+    # each paying the tunneled backend's round trip (measured ~5 min
+    # for the diffusion U-Net); one traced executable is seconds
+    variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
     aux = {k: v for k, v in variables.items() if k != 'params'}
     tx = model.optimizer()
     if isinstance(tx, dict):
-        print(f'# {arch}: skipped (multi-optimizer GAN; host metric '
-              'scoring between phases)', file=sys.stderr)
-        return None
+        return bench_gan(arch, model, variables, tx, n_steps)
     if model.grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(model.grad_clip), tx)
     state = {
@@ -220,6 +221,90 @@ def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
     return result
 
 
+def bench_gan(arch, model, variables, tx, n_steps=10):
+    """Device-side GAN step benchmark (metricganokd/metricganp).
+
+    Times candidate synthesis + the generator/discriminator updates as
+    one scanned step with synthetic metric scores: the host metric
+    scoring between phases is device-independent (loader-overlapped /
+    multiprocess in production) so the device step is the TPU figure of
+    merit. f32 (the GAN trainer path does not run amp)."""
+    batch_size = ARCH_BATCH.get(arch, BATCH)
+    state = {
+        'params': variables['params'],
+        'aux': {'batch_stats': variables['batch_stats']},
+        'opt_state': model.init_opt_state(tx, variables['params']),
+        'step': jnp.zeros((), jnp.int32),
+        'rng': jax.random.PRNGKey(1),
+    }
+    state = jax.tree.map(
+        lambda x: jax.lax.convert_element_type(x, x.dtype), state)
+    rng = np.random.RandomState(0)
+    batch = jnp.asarray(
+        rng.randn(batch_size, 2, 2, SECONDS * FS).astype('float32'))
+    lengths = jnp.full((batch_size,), SECONDS * FS, dtype=jnp.int32)
+    n_gen = model.n_generators
+    scores = {
+        'noisy': jnp.full((batch_size, n_gen), 0.3),
+        'enh': jnp.full((n_gen, batch_size, n_gen), 0.5),
+        'aug': jnp.full((batch_size, n_gen), 0.9),
+    }
+    make_candidates, device_train_step, _ = model.device_step_fns(tx)
+
+    def step(state, _):
+        _, _, _, aug_wav = make_candidates(state, batch, lengths)
+        state, loss = device_train_step(
+            state, batch, lengths, scores, aug_wav)
+        return state, loss['loss_d']
+
+    def run(state):
+        return jax.lax.scan(step, state, None, length=n_steps)
+
+    _progress(f'{arch}: lowering+compile')
+    t0 = time.perf_counter()
+    compiled = jax.jit(run).lower(state).compile()
+    compile_s = time.perf_counter() - t0
+    _progress(f'{arch}: compiled in {compile_s:.1f}s')
+    try:
+        flops_per_step, bytes_per_step = _costs_of(compiled)
+    except Exception as e:
+        print(f'# {arch}: cost_analysis failed: {e}', file=sys.stderr)
+        flops_per_step = bytes_per_step = None
+    _progress(f'{arch}: warmup dispatch')
+    state, losses = compiled(state)
+    float(losses[-1])
+    _progress(f'{arch}: timing')
+    t0 = time.perf_counter()
+    state, losses = compiled(state)
+    float(losses[-1])
+    step_s = (time.perf_counter() - t0) / n_steps
+    peak, kind = device_peak_flops()
+    hbm_bw = device_peak_hbm_bw()
+    return {
+        'arch': arch,
+        'batch': batch_size,
+        'seconds_per_item': SECONDS,
+        'ms_per_step': round(step_s * 1e3, 2),
+        'steps_per_sec': round(1.0 / step_s, 3),
+        'audio_sec_per_sec': round(batch_size * SECONDS / step_s, 1),
+        'flops_per_step': flops_per_step,
+        'achieved_tflops': round(flops_per_step / step_s / 1e12, 2)
+        if flops_per_step else None,
+        'mfu': round(flops_per_step / step_s / peak, 4)
+        if flops_per_step and peak else None,
+        'bytes_per_step': bytes_per_step,
+        'mxu_floor_ms': round(flops_per_step / peak * 1e3, 2)
+        if flops_per_step and peak else None,
+        'hbm_floor_ms': round(bytes_per_step / hbm_bw * 1e3, 2)
+        if bytes_per_step and hbm_bw else None,
+        'hbm_roofline_frac': round(bytes_per_step / hbm_bw / step_s, 3)
+        if bytes_per_step and hbm_bw else None,
+        'device': kind,
+        'compile_s': round(compile_s, 1),
+        'note': 'device phases only (host metric scoring excluded); f32',
+    }
+
+
 def bench_all(archs, **kwargs):
     results = {}
     for arch in archs:
@@ -235,7 +320,7 @@ def bench_all(archs, **kwargs):
 
 
 DEFAULT_ARCHS = ['convtasnet', 'dccrn', 'ffnn', 'tfgridnet', 'manner',
-                 'sgmsepm']
+                 'sgmsepm', 'metricganokd']
 
 
 def main():

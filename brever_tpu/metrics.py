@@ -26,29 +26,13 @@ Contract: all metrics give identical results batched-padded vs
 per-item (lengths argument), like the reference.
 """
 
-import warnings
-
 import numpy as np
-import scipy.signal
 
 from .criterion import CriterionRegistry
 from .registry import Registry
+from .stoi import stoi_batch, stoi_single
 
 MetricRegistry = Registry('metric')
-
-# pystoi uses np.finfo("float").eps (float64) throughout
-EPS = np.finfo(np.float64).eps
-
-# STOI constants
-_STOI_FS = 10000
-_STOI_FRAME = 256
-_STOI_NFFT = 512
-_STOI_HOP = 128
-_STOI_NBANDS = 15
-_STOI_MINFREQ = 150.0
-_STOI_SEG = 30          # frames per 384 ms segment
-_STOI_BETA = -15.0      # lower SDR bound (dB)
-_STOI_DYN_RANGE = 40.0  # VAD dynamic range (dB)
 
 
 def _to_numpy(x):
@@ -57,174 +41,22 @@ def _to_numpy(x):
     return np.asarray(x)
 
 
-def _third_octave_bands(fs, nfft, num_bands, min_freq):
-    """One-third octave band matrix over rFFT bins."""
-    f = np.linspace(0, fs, nfft + 1)[:nfft // 2 + 1]
-    k = np.arange(num_bands)
-    freq_low = min_freq * 2.0**((2 * k - 1) / 6)
-    freq_high = min_freq * 2.0**((2 * k + 1) / 6)
-    obm = np.zeros((num_bands, len(f)))
-    for i in range(num_bands):
-        lo = np.argmin((f - freq_low[i])**2)
-        hi = np.argmin((f - freq_high[i])**2)
-        obm[i, lo:hi] = 1
-    return obm
-
-
-_OBM = _third_octave_bands(_STOI_FS, _STOI_NFFT, _STOI_NBANDS, _STOI_MINFREQ)
-_WIN = np.hanning(_STOI_FRAME + 2)[1:-1]
-
-
-def _resample_window_oct(p, q):
-    """Octave-compatible anti-aliasing window (pystoi's resampler)."""
-    gcd = np.gcd(int(p), int(q))
-    p, q = int(p) // gcd, int(q) // gcd
-    log10_rejection = -3.0
-    stopband_cutoff_f = 1.0 / (2 * max(p, q))
-    roll_off_width = stopband_cutoff_f / 10
-    rejection_db = -20 * log10_rejection
-    l = np.ceil(rejection_db / (22 * roll_off_width))
-    t = np.arange(-l, l + 1)
-    ideal_filter = 2 * p * stopband_cutoff_f * np.sinc(
-        2 * stopband_cutoff_f * t)
-    if 21 < rejection_db <= 50:
-        chi = (0.5842 * (rejection_db - 21) ** 0.4
-               + 0.07886 * (rejection_db - 21))
-    elif rejection_db > 50:
-        chi = 0.1102 * (rejection_db - 8.7)
-    else:
-        chi = 0.0
-    return np.kaiser(int(2 * l + 1), chi) * ideal_filter
-
-
-def _resample_oct(x, p, q):
-    h = _resample_window_oct(p, q)
-    return scipy.signal.resample_poly(x, p, q, window=h / np.sum(h))
-
-
-def _frame(x, frame_len, hop):
-    # pystoi frames with range(0, len(x) - frame_len, hop): a frame
-    # that fits exactly at the end is dropped — replicated for parity
-    n_frames = max(int(np.ceil((len(x) - frame_len) / hop)), 0)
-    idx = np.arange(n_frames)[:, None] * hop + np.arange(frame_len)[None, :]
-    return x[idx]
-
-
-def _overlap_add(frames, hop):
-    n = (len(frames) - 1) * hop + frames.shape[1]
-    out = np.zeros(n)
-    for i, frame in enumerate(frames):
-        out[i * hop:i * hop + frames.shape[1]] += frame
-    return out
-
-
-def _remove_silent_frames(x, y, dyn_range, frame_len, hop):
-    """Drop frames where the clean signal is more than ``dyn_range`` dB
-    below its loudest frame, then re-synthesize both signals."""
-    x_frames = _frame(x, frame_len, hop) * _WIN
-    y_frames = _frame(y, frame_len, hop) * _WIN
-    if len(x_frames) == 0:
-        raise RuntimeError('signal is too short to frame for STOI')
-    energies = 20 * np.log10(np.linalg.norm(x_frames, axis=1) + EPS)
-    mask = energies > energies.max() - dyn_range
-    return _overlap_add(x_frames[mask], hop), \
-        _overlap_add(y_frames[mask], hop)
-
-
-def _band_envelopes(x):
-    """(frames, bins) power spectrum -> (bands, frames) envelopes."""
-    frames = _frame(x, _STOI_FRAME, _STOI_HOP) * _WIN
-    spec = np.fft.rfft(frames, _STOI_NFFT, axis=1)
-    return np.sqrt(_OBM @ (np.abs(spec)**2).T)
-
-
-def _sliding_segments(spec, seg_len):
-    """(bands, T) -> (M, bands, seg_len), sliding window with step 1."""
-    n_frames = spec.shape[1]
-    return np.array([
-        spec[:, m - seg_len:m] for m in range(seg_len, n_frames + 1)
-    ])
-
-
-def _stoi_single(deg, ref, fs, extended):
-    """STOI/ESTOI of one pair of 1-D signals (deg = estimate, ref = clean)."""
-    deg = np.asarray(deg, dtype=np.float64)
-    ref = np.asarray(ref, dtype=np.float64)
-    if deg.shape != ref.shape:
-        raise ValueError('signals must have the same shape')
-    if fs != _STOI_FS:
-        # pystoi resamples with an Octave-compatible kaiser window
-        deg = _resample_oct(deg, _STOI_FS, fs)
-        ref = _resample_oct(ref, _STOI_FS, fs)
-
-    ref, deg = _remove_silent_frames(
-        ref, deg, _STOI_DYN_RANGE, _STOI_FRAME, _STOI_HOP
-    )
-
-    x_spec = _band_envelopes(ref)   # clean
-    y_spec = _band_envelopes(deg)   # degraded
-    if x_spec.shape[1] < _STOI_SEG:
-        # pystoi warns and returns 1e-5 instead of raising
-        warnings.warn(
-            f'not enough STFT frames for STOI: {x_spec.shape[1]} after '
-            f'silence removal, need at least {_STOI_SEG}; returning 1e-5'
-        )
-        return 1e-5
-
-    x_seg = _sliding_segments(x_spec, _STOI_SEG)  # (M, J, N)
-    y_seg = _sliding_segments(y_spec, _STOI_SEG)
-
-    if extended:
-        def row_col_normalize(seg):
-            # pystoi additionally perturbs by EPS-scaled gaussian noise
-            # (~2e-16, below any meaningful tolerance); omitted so the
-            # metric stays deterministic
-            def safe_inv_norm(s, axis):
-                n2 = np.sum(s**2, axis=axis, keepdims=True)
-                return np.where(n2 > 0, 1.0 / np.sqrt(np.maximum(n2, EPS)),
-                                0.0)
-
-            seg = seg - seg.mean(axis=2, keepdims=True)
-            seg = seg * safe_inv_norm(seg, 2)
-            seg = seg - seg.mean(axis=1, keepdims=True)
-            seg = seg * safe_inv_norm(seg, 1)
-            return seg
-
-        x_n = row_col_normalize(x_seg)
-        y_n = row_col_normalize(y_seg)
-        return float(
-            np.sum(x_n * y_n / _STOI_SEG) / x_n.shape[0]
-        )
-
-    # classic STOI: normalize + clip the degraded envelope, correlate
-    norm_const = (
-        np.linalg.norm(x_seg, axis=2, keepdims=True)
-        / (np.linalg.norm(y_seg, axis=2, keepdims=True) + EPS)
-    )
-    y_norm = y_seg * norm_const
-    clip_val = 10**(-_STOI_BETA / 20)
-    y_prime = np.minimum(y_norm, x_seg * (1 + clip_val))
-
-    y_prime = y_prime - y_prime.mean(axis=2, keepdims=True)
-    x_c = x_seg - x_seg.mean(axis=2, keepdims=True)
-    y_prime = y_prime / (np.linalg.norm(y_prime, axis=2, keepdims=True) + EPS)
-    x_c = x_c / (np.linalg.norm(x_c, axis=2, keepdims=True) + EPS)
-    corr = np.sum(y_prime * x_c)
-    return float(corr / (x_seg.shape[0] * x_seg.shape[1]))
-
-
 def _stoi(x, y, fs, extended, batched, lengths):
-    """Dispatch over batch/lengths like the reference wrapper."""
+    """Dispatch over batch/lengths like the reference wrapper
+    (brever/metrics.py:19-44). Batched 2-D scoring runs the items
+    process-parallel through the shared spawn pool."""
     x, y, lengths = _to_numpy(x), _to_numpy(y), _to_numpy(lengths)
     if x.ndim == 1:
         if lengths is not None and not batched:
             raise ValueError('Non-batched stoi does not support lengths '
                              'argument for 1D inputs.')
-        return _stoi_single(x, y, fs, extended)
+        return stoi_single(x, y, fs, extended)
+    if batched:
+        return stoi_batch(x, y, fs, extended, lengths)
     if lengths is None:
         lengths = [x.shape[-1]] * x.shape[0]
     return np.array([
-        _stoi_single(xi[:n], yi[:n], fs, extended)
+        stoi_single(xi[:n], yi[:n], fs, extended)
         for xi, yi, n in zip(x, y, lengths)
     ])
 

@@ -326,6 +326,60 @@ class MetricGANOKD(BreverBaseModel):
     host_side_steps = True
 
     def make_step_fns(self, tx):
+        make_candidates, device_train_step, device_val_step = \
+            self.device_step_fns(tx)
+
+        jit_candidates = jax.jit(make_candidates)
+        jit_train = jax.jit(device_train_step)
+        jit_val = jax.jit(device_val_step)
+
+        def host_scores(state, batch, lengths):
+            noisy_wav, clean_wav, enh_wavs, aug_wav = jit_candidates(
+                state, batch, lengths)
+            clean_np = np.asarray(clean_wav)
+            lengths_np = np.asarray(lengths)
+            if lengths_np.ndim > 1:
+                lengths_np = lengths_np[:, 0]
+            if isinstance(batch, (tuple, list)):
+                # loader_transform already scored noisy-vs-clean per
+                # item; only enhanced/augmented candidates (which
+                # change every step) are scored here
+                noisy_score = jnp.asarray(batch[1], jnp.float32)
+            else:
+                noisy_score = jnp.asarray(
+                    self._score(np.asarray(noisy_wav), clean_np,
+                                lengths_np))
+            scores = {
+                'noisy': noisy_score,
+                'enh': jnp.asarray(np.stack([
+                    self._score(np.asarray(enh_wavs[k]), clean_np,
+                                lengths_np)
+                    for k in range(self.n_generators)
+                ])),
+            }
+            if self.augment:
+                scores['aug'] = jnp.asarray(
+                    self._score(np.asarray(aug_wav), clean_np,
+                                lengths_np))
+            return scores, aug_wav
+
+        def train_step(state, batch, lengths, _):
+            scores, aug_wav = host_scores(state, batch, lengths)
+            return jit_train(state, batch, lengths, scores, aug_wav)
+
+        def val_step(state, batch, lengths, _):
+            scores, aug_wav = host_scores(state, batch, lengths)
+            return jit_val(state, batch, lengths, scores, aug_wav)
+
+        return train_step, val_step
+
+    def device_step_fns(self, tx):
+        """The three pure jittable phases of the GAN step: candidate
+        synthesis (everything the host scorer consumes), the
+        generator+discriminator train update, and the val loss. Exposed
+        separately so the benchmark can time the device work with
+        synthetic scores (host metric scoring is loader-overlapped /
+        multiprocess in production and device-independent)."""
         def split_batch(batch):
             # batch is either raw (B, 2, ch, T), or, when the loader
             # ran loader_transform, [mono (B, 2, T), noisy_score]
@@ -479,49 +533,7 @@ class MetricGANOKD(BreverBaseModel):
                 'loss_d': loss_d,
             }
 
-        jit_candidates = jax.jit(make_candidates)
-        jit_train = jax.jit(device_train_step)
-        jit_val = jax.jit(device_val_step)
-
-        def host_scores(state, batch, lengths):
-            noisy_wav, clean_wav, enh_wavs, aug_wav = jit_candidates(
-                state, batch, lengths)
-            clean_np = np.asarray(clean_wav)
-            lengths_np = np.asarray(lengths)
-            if lengths_np.ndim > 1:
-                lengths_np = lengths_np[:, 0]
-            if isinstance(batch, (tuple, list)):
-                # loader_transform already scored noisy-vs-clean per
-                # item; only enhanced/augmented candidates (which
-                # change every step) are scored here
-                noisy_score = jnp.asarray(batch[1], jnp.float32)
-            else:
-                noisy_score = jnp.asarray(
-                    self._score(np.asarray(noisy_wav), clean_np,
-                                lengths_np))
-            scores = {
-                'noisy': noisy_score,
-                'enh': jnp.asarray(np.stack([
-                    self._score(np.asarray(enh_wavs[k]), clean_np,
-                                lengths_np)
-                    for k in range(self.n_generators)
-                ])),
-            }
-            if self.augment:
-                scores['aug'] = jnp.asarray(
-                    self._score(np.asarray(aug_wav), clean_np,
-                                lengths_np))
-            return scores, aug_wav
-
-        def train_step(state, batch, lengths, _):
-            scores, aug_wav = host_scores(state, batch, lengths)
-            return jit_train(state, batch, lengths, scores, aug_wav)
-
-        def val_step(state, batch, lengths, _):
-            scores, aug_wav = host_scores(state, batch, lengths)
-            return jit_val(state, batch, lengths, scores, aug_wav)
-
-        return train_step, val_step
+        return make_candidates, device_train_step, device_val_step
 
     def loss(self, variables, batch, lengths, rng, train=True):
         raise NotImplementedError(

@@ -398,7 +398,13 @@ def _pesq_inner(args):
 def pesq_batch(fs, ref, deg, mode='wb', lengths=None, n_processor=None):
     """Batched PESQ with lengths support (reference semantics:
     brever/metrics.py:153-213 — 2D ref/deg sliced per item by
-    ``lengths``, scored through a multiprocessing Pool)."""
+    ``lengths``, scored through a multiprocessing Pool).
+
+    .. note:: parallel scoring uses a spawn-context pool, so a script
+       calling this at module top level must use the standard
+       ``if __name__ == '__main__':`` guard (spawn re-imports
+       ``__main__``); without the guard, scoring falls back to serial
+       in the workers and the pool still completes correctly."""
     _check_fs_mode(fs, mode)
     ref = np.asarray(ref, dtype=np.float64)
     deg = np.asarray(deg, dtype=np.float64)
@@ -441,6 +447,10 @@ _POOL_SIZE = 0
 
 def _get_pool(n):
     global _POOL, _POOL_SIZE
+    if multiprocessing.current_process().name != 'MainProcess':
+        # never nest pools inside a worker (a spawn child re-imports
+        # __main__; an unguarded script would recurse here)
+        return None
     if _POOL is not None and _POOL_SIZE >= n:
         return _POOL
     if _POOL is not None:
@@ -450,7 +460,11 @@ def _get_pool(n):
         ctx = multiprocessing.get_context('spawn')
         _POOL = ctx.Pool(n)
         _POOL_SIZE = n
-    except (OSError, ValueError):  # scoring still works, just serial
+    # OSError/ValueError: no procs available; RuntimeError: spawn
+    # bootstrap ("start a new process before ... bootstrapping phase")
+    # when called at import time of an unguarded __main__. Scoring
+    # still works, just serial.
+    except (OSError, ValueError, RuntimeError):
         _POOL = None
         _POOL_SIZE = 0
     return _POOL

@@ -502,9 +502,14 @@ GOLDEN_PARAMS = {
     # dccrn/tfgridnet pins regenerated after the memory-lean LSTM
     # scan (models/rnn.py lstm_scan custom VJP) — mathematically
     # identical backward, different fp association order.
+    # dccrn re-pinned again for the fused block-kernel complex conv
+    # (single lax conv over stacked real|imag channels) — function-
+    # exact vs the two-conv form (test_dccrn_fused_complex_conv_parity,
+    # f64 parity < 5e-13); only near-zero bias leaves moved (Adam sign
+    # noise under a different fp reduction order).
     'dccrn': [
-        0.00023629991, 0.0006238401,
-        1.8297866e-05, 0.00017267224,
+        1.060312e-04, 6.231822e-04,
+        1.413073e-04, -1.677790e-04,
         0.037376665, -0.021786327,
         0.028836507, 0.037438635,
         0.119980976, -0.004849142,
@@ -675,3 +680,55 @@ def test_dccrn_complex_batchnorm():
     # stats moved away from init
     assert float(np.abs(np.asarray(
         updates['batch_stats']['mean'])).sum()) > 0
+
+
+@pytest.mark.parametrize('transpose', [False, True])
+def test_dccrn_fused_complex_conv_parity(transpose):
+    """The single block-kernel complex conv must equal the naive
+    two-real-conv formulation as a FUNCTION of the parameters — same
+    variable tree, same forward, same grads (incl. the torch-style
+    double bias: out_r gets b_r - b_i, out_i gets b_r + b_i)."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from brever_tpu.models.dccrn import _ComplexConv
+
+    class Naive(nn.Module):
+        features: int
+        kernel_size: tuple
+        strides: tuple
+        padding: tuple
+        transpose: bool = False
+
+        @nn.compact
+        def __call__(self, x):
+            conv_cls = nn.ConvTranspose if self.transpose else nn.Conv
+            kwargs = dict(features=self.features,
+                          kernel_size=self.kernel_size,
+                          strides=self.strides, padding=self.padding)
+            conv_r = conv_cls(**kwargs, name='real')
+            conv_i = conv_cls(**kwargs, name='imag')
+            xr, xi = jnp.split(x, 2, axis=-1)
+            return jnp.concatenate(
+                [conv_r(xr) - conv_i(xi), conv_r(xi) + conv_i(xr)],
+                axis=-1)
+
+    pad = (((5 - 1 - 2, 5 - 1 - 2 + 1), (1, 1)) if transpose
+           else ((2, 2), (0, 0)))
+    kw = dict(features=24, kernel_size=(5, 2), strides=(2, 1),
+              padding=pad, transpose=transpose)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 33, 12, 2 * 16).astype('float32'))
+    naive, fused = Naive(**kw), _ComplexConv(**kw)
+    v = naive.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(
+                fused.init(jax.random.PRNGKey(0), x)))
+    # break the zero-bias symmetry so bias semantics are exercised
+    v = jax.tree.map(
+        lambda a: a + 0.1 if a.ndim == 1 else a, v)
+    y_naive, y_fused = naive.apply(v, x), fused.apply(v, x)
+    np.testing.assert_allclose(y_fused, y_naive, rtol=1e-5, atol=1e-5)
+    g_naive = jax.grad(lambda p: (naive.apply(p, x) ** 2).sum())(v)
+    g_fused = jax.grad(lambda p: (fused.apply(p, x) ** 2).sum())(v)
+    for a, b in zip(jax.tree.leaves(g_naive), jax.tree.leaves(g_fused)):
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-3)
