@@ -86,8 +86,9 @@ def pesq(x, y, fs=16000, mode='wb', normalized=False, batched=True,
     .. warning:: This implementation follows the published P.862
        algorithm but is NOT bit-compatible with the ITU reference
        code: Bark band edges and absolute thresholds are analytic
-       rather than the ITU tables, and time alignment estimates one
-       global delay (see the deviation list in
+       rather than the ITU tables, and time alignment (global +
+       per-utterance delays) omits the bad-interval realignment
+       refinement (see the deviation list in
        :mod:`brever_tpu.pesq`). Identical signals score the exact
        canonical maxima and scores rank degradations consistently
        (pinned by ``tests/test_metrics.py``), but absolute MOS-LQO

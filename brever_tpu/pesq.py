@@ -27,10 +27,12 @@ Hekstra, ICASSP 2001; ITU-T Rec. P.862 (2001) and P.862.2 (2007)):
 Deviations from the ITU reference code (documented so parity limits
 are explicit):
 
-*   Time alignment estimates one constant delay per file instead of
-    the full per-utterance splitting / bad-interval realignment
-    machinery.  Speech-enhancement outputs are time-aligned with their
-    references by construction, so the estimated delay is ~0 in this
+*   Time alignment does crude global alignment, utterance splitting
+    on the reference envelope and fine per-utterance delays (applied
+    per frame), but not P.862's bad-interval realignment refinement
+    (re-splitting an utterance when the delay drifts inside it).
+    Speech-enhancement outputs are time-aligned with their references
+    by construction, so the estimated delays are ~0 in this
     framework's use (the reference library exercises the same code
     path trivially in that case).
 *   The Bark band edges and absolute hearing thresholds are derived
@@ -63,6 +65,7 @@ MAX_SCALE = 5.0
 ZWICKER_POWER = 0.23
 ABS_THRESH_FACTOR = 1.0
 SYLLABLE_FRAMES = 20       # 20 half-overlapping frames ~ 320 ms
+MAX_UTTERANCES = 50        # P.862 cap on the utterance count
 D_WEIGHT = 0.1
 DA_WEIGHT = 0.0309
 
@@ -207,16 +210,78 @@ def _estimate_delay(ref, deg, cfg):
     return int(lags[np.argmax(vals)])
 
 
-def _frames(x, cfg, n_frames):
+def _frames(x, cfg, n_frames, offsets=None):
     idx = (np.arange(n_frames)[:, None] * cfg.hop
            + np.arange(cfg.nf)[None, :])
+    if offsets is not None:
+        idx = np.clip(idx + offsets[:, None], 0, len(x) - 1)
     return x[idx]
 
 
-def _power_spectra(x, cfg, n_frames):
-    fr = _frames(x, cfg, n_frames) * cfg.window
+def _power_spectra(x, cfg, n_frames, offsets=None):
+    fr = _frames(x, cfg, n_frames, offsets) * cfg.window
     spec = np.fft.rfft(fr, cfg.nf, axis=1)[:, :cfg.n_bins]
     return np.abs(spec) ** 2
+
+
+def _split_utterances(ref, cfg, start, stop):
+    """Speech-active [start, stop) sample spans within ``ref``.
+
+    P.862 delimits utterances on the 4 ms (Downsample) envelope: a
+    span is speech while the envelope stays above a threshold tied to
+    the fixed internal level, and utterances separated by less than
+    200 ms of silence are joined (ITU reference: utt_id/utt_start in
+    the time-alignment module).  Returns at most ``MAX_UTTERANCES``
+    spans, longest kept, in time order."""
+    step = cfg.downsample
+    n_units = (stop - start) // step
+    if n_units <= 0:
+        return []
+    seg = ref[start:start + n_units * step].reshape(n_units, step)
+    env = np.abs(seg).sum(axis=1)
+    # the internal calibration puts active speech at ~1e7 power
+    # (RMS ~ 3162); anything above 1 % of that RMS counts as active
+    active = env > 0.01 * np.sqrt(TARGET_AVG_POWER) * step
+    if not np.any(active):
+        return []
+    join_units = int(0.2 * cfg.fs) // step      # 200 ms
+    min_units = int(0.05 * cfg.fs) // step      # 50 ms minimum
+    spans = []
+    idx = np.flatnonzero(active)
+    run_start = idx[0]
+    prev = idx[0]
+    for i in idx[1:]:
+        if i - prev > join_units:
+            spans.append((run_start, prev + 1))
+            run_start = i
+        prev = i
+    spans.append((run_start, prev + 1))
+    spans = [(a, b) for a, b in spans if b - a >= min_units]
+    spans.sort(key=lambda ab: ab[0] - ab[1])    # longest first
+    spans = sorted(spans[:MAX_UTTERANCES])
+    return [(start + a * step, start + b * step) for a, b in spans]
+
+
+def _utterance_delay(ref, deg, a, b, global_delay, cfg):
+    """Fine delay of deg vs ref over the utterance [a, b), searched
+    within +-SEARCHBUFFER*Downsample around the crude global delay."""
+    span = SEARCHBUFFER * cfg.downsample
+    lo = max(a + global_delay - span, 0)
+    hi = min(b + global_delay + span, len(deg))
+    if hi - lo < cfg.nf:
+        return global_delay
+    r = ref[a:b]
+    d = deg[lo:hi]
+    nfft = 1 << int(np.ceil(np.log2(len(r) + len(d))))
+    corr = np.fft.irfft(
+        np.fft.rfft(d, nfft) * np.conj(np.fft.rfft(r, nfft)), nfft)
+    # corr[k] pairs ref[a + t] with deg[lo + t + k]
+    k_max = len(d) - 1
+    k = int(np.argmax(corr[:k_max + 1]))
+    delay = lo + k - a
+    if abs(delay - global_delay) > span:
+        return global_delay
+    return delay
 
 
 def _total_audible(pp, abs_thresh, factor):
@@ -313,23 +378,39 @@ def pesq(fs, ref, deg, mode='wb'):
         raise NoUtterancesError(
             'no utterances detected (silent input)') from None
 
-    delay = _estimate_delay(ref_f, deg_f, cfg)
-    if delay > 0:
-        deg_f = np.concatenate([deg_f[delay:], np.zeros(delay)])
-    elif delay < 0:
-        deg_f = np.concatenate([np.zeros(-delay), deg_f[:delay]])
+    # time alignment: crude global delay (envelope-scale waveform
+    # correlation), then utterance splitting on the reference envelope
+    # and a fine per-utterance delay searched around the crude one —
+    # the P.862 utterance machinery without the bad-interval
+    # realignment refinement
+    global_delay = _estimate_delay(ref_f, deg_f, cfg)
+    utterances = _split_utterances(
+        ref_f, cfg, pad_front, pad_front + n_samples)
+    utt_delays = [
+        _utterance_delay(ref_f, deg_f, a, b, global_delay, cfg)
+        for a, b in utterances
+    ]
 
     # perceptual model over the active region (+ data padding)
     region = slice(pad_front,
                    pad_front + n_samples + DATAPADDING_MS * fs // 1000)
     ref_a = ref_f[region]
-    deg_a = deg_f[region]
     n_frames = (len(ref_a) - cfg.nf) // cfg.hop + 1
     if n_frames < 1:
         raise PesqError('signal too short for PESQ analysis')
 
+    # per-frame degraded-signal offsets: frames inside an utterance
+    # follow its delay, frames outside follow the crude global delay
+    frame_centre = pad_front + np.arange(n_frames) * cfg.hop \
+        + cfg.nf // 2
+    offsets = np.full(n_frames, pad_front + global_delay)
+    for (a, b), d in zip(utterances, utt_delays):
+        inside = (frame_centre >= a) & (frame_centre < b)
+        offsets[inside] = pad_front + d
+
     pp_ref = SP * (_power_spectra(ref_a, cfg, n_frames) @ cfg.group.T)
-    pp_deg = SP * (_power_spectra(deg_a, cfg, n_frames) @ cfg.group.T)
+    pp_deg = SP * (_power_spectra(deg_f, cfg, n_frames, offsets)
+                   @ cfg.group.T)
 
     tot_ref = _total_audible(pp_ref, cfg.abs_thresh, 1.0)
     tot_deg = _total_audible(pp_deg, cfg.abs_thresh, 1.0)

@@ -132,6 +132,25 @@ def test_pesq_delay_invariance():
         pesq_fn(16000, x, d, 'wb'), 4.643888749336258, rtol=1e-9)
 
 
+def test_pesq_per_utterance_alignment():
+    """A delay that CHANGES between utterances is recovered by the
+    per-utterance alignment (a single global delay cannot fix both
+    utterances at once, P.862's motivation for utterance splitting)."""
+    from brever_tpu.pesq import pesq as pesq_fn
+    fs = 16000
+    rng = np.random.RandomState(4)
+    env = np.zeros(4 * fs)
+    for start, dur in [(0.2, 0.8), (1.4, 0.9), (2.8, 0.9)]:
+        i0, i1 = int(start * fs), int((start + dur) * fs)
+        env[i0:i1] = np.hanning(i1 - i0)
+    ref = env * rng.randn(len(env)) * 0.1
+    # first utterance delayed 200 samples, the rest 350
+    deg = np.concatenate([np.zeros(200), ref[:-200]])
+    cut = int(1.2 * fs)
+    deg[cut:] = np.concatenate([np.zeros(150), deg[cut:-150]])
+    assert pesq_fn(fs, ref, deg, 'wb') > 4.5
+
+
 def test_pesq_monotonic_with_noise():
     from brever_tpu.pesq import pesq as pesq_fn
     clean = _speech_noise(2, 32000)
