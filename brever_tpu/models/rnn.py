@@ -140,6 +140,43 @@ def _lstm_scan_bwd(unroll, residuals, dh_seq):
 lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
 
 
+def _use_fused_scan(gates_x, w_hh):
+    """flash-LSTM engages on TPU for lane-aligned hidden sizes and
+    row counts wide enough to feed the MXU (see
+    ops/pallas/lstm_scan.py); BREVER_FUSED_LSTM=0 disables.
+
+    The row floor also keeps narrow-but-long recurrences (DCCRN's
+    32-row, 500-step complex-LSTM bottleneck) on the XLA scan: the
+    kernel's matmuls would idle 3/4 of the MXU there, so the fused
+    path is all cost.
+
+    Default OFF until the kernel is timed on hardware: flip with
+    BREVER_FUSED_LSTM=1 (parity is already pinned by the
+    interpreter-mode tests; the open question is step time)."""
+    if os.environ.get('BREVER_FUSED_LSTM', '0') != '1':
+        return False
+    from ..ops.pallas.lstm_scan import lstm_pallas_available
+    n_hidden = w_hh.shape[-2]
+    n_rows = gates_x.shape[-2]
+    return (lstm_pallas_available()
+            and n_hidden % 128 == 0
+            and gates_x.shape[-1] == 4 * n_hidden
+            and gates_x.ndim in (3, 4)
+            and n_rows >= 128)
+
+
+def _dispatch_scan(gates_x, w_hh, unroll):
+    """Route to the fused Pallas scan when it applies, else the
+    XLA-scan custom VJP."""
+    if _use_fused_scan(gates_x, w_hh):
+        from ..ops.pallas.lstm_scan import lstm_scan_fused
+        if gates_x.ndim == 3:     # (T, B, 4H) unidirectional
+            out = lstm_scan_fused(gates_x[:, None], w_hh[None])
+            return out[:, 0]
+        return lstm_scan_fused(gates_x, w_hh)
+    return lstm_scan(gates_x, w_hh, unroll)
+
+
 class LSTM(nn.Module):
     """Unidirectional single-layer LSTM over ``(batch, time, features)``.
 
@@ -172,7 +209,7 @@ class LSTM(nn.Module):
         if self.reverse:
             gates_x = jnp.flip(gates_x, axis=1)
         gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4h)
-        hidden = lstm_scan(gates_x, w_hh, self.unroll)
+        hidden = _dispatch_scan(gates_x, w_hh, self.unroll)
         hidden = jnp.swapaxes(hidden, 0, 1)  # (B, T, h)
         if self.reverse:
             hidden = jnp.flip(hidden, axis=1)
@@ -215,7 +252,7 @@ class BLSTM(nn.Module):
         # separate moveaxis would be a full HBM copy of the gate array
         gates_x = jnp.einsum('dbtf,dfk->tdbk', both, w_ih) \
             + (b_ih + b_hh)[None, :, None, :]
-        hidden = lstm_scan(gates_x, w_hh, self.unroll)  # (T, 2, B, h)
+        hidden = _dispatch_scan(gates_x, w_hh, self.unroll)  # (T, 2, B, h)
         fwd = jnp.moveaxis(hidden[:, 0], 0, 1)            # (B, T, h)
         bwd = jnp.flip(jnp.moveaxis(hidden[:, 1], 0, 1), axis=1)
         return jnp.concatenate([fwd, bwd], axis=-1)

@@ -1,0 +1,334 @@
+"""Fused LSTM scan as a streaming Pallas TPU kernel (flash-LSTM).
+
+Drop-in accelerator for :func:`brever_tpu.models.rnn.lstm_scan` — the
+recurrence
+
+    gates[t] = gates_x[t] + h[t-1] @ w_hh          (i | f | g | o)
+    c[t] = sig(f) * c[t-1] + sig(i) * tanh(g)
+    h[t] = sig(o) * tanh(c[t])
+
+with ``gates_x: (T, D, R, 4H)`` (direction-stacked rows, D=1 for a
+unidirectional LSTM) and ``w_hh: (D, H, 4H)``.
+
+Why a kernel: under XLA the scan is a while-loop whose every step
+round-trips the carry through HBM and whose backward re-materializes
+the (T, D, R, 4H) gate pre-activations (the memory-lean custom VJP in
+``models.rnn`` recomputes them with one monolithic matmul, but that
+matmul's output still lands in HBM before the reverse scan re-reads
+it).  Here the recurrence streams through VMEM: the grid is
+``(D, R/tile, T/chunk)`` with time innermost, so the pipeline
+prefetches gate chunks while the MXU works, the (h, c) carry lives in
+VMEM scratch across time chunks, and the backward walks a
+time-REVERSED grid recomputing each step's gates from the saved
+``h_seq`` with one extra per-step matmul (FLOPs are free, bytes are
+not).  HBM traffic per element: read gates_x + dh, write h/c forward
+and dgates backward — within ~1.3x of the tensors' own size, with no
+per-step XLA dispatch.
+
+VMEM is bounded by the (chunk, tile) block sizes regardless of T, so
+arbitrarily long sequences stream (the earlier design held the whole
+(T, tile, 4H) row slab in VMEM, which stops fitting near T ~ 200).
+
+Numerics: identical operation order to the jnp twin
+(``models.rnn._lstm_scan_impl``): the recurrent matmul accumulates in
+f32 and is cast back to the carry dtype, gate nonlinearities in f32
+cast back to the carry dtype (XLA's bf16 sigmoid/tanh upcast
+internally too).  Parity is pinned by interpreter-mode tests
+(tests/test_lstm_fused.py).
+
+Behavioral reference for the consumers: torch ``nn.LSTM`` semantics
+(reference brever/models/tfgridnet/tfgridnet.py:276-318, dccrn.py,
+manner modules).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except ImportError:  # pragma: no cover
+    _PALLAS_OK = False
+
+#: scoped VMEM ceiling for the pallas_call (v5e cores have 128 MB)
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+#: target byte size of one streamed gates_x block (sets the time chunk)
+_CHUNK_BYTES = 2 * 1024 * 1024
+
+# test hook: route the fused path through the Pallas interpreter
+FORCE_INTERPRET = False
+
+
+def lstm_pallas_available():
+    if FORCE_INTERPRET:
+        return _PALLAS_OK
+    return _PALLAS_OK and jax.default_backend() in ('tpu',)
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def _pick_blocks(t_steps, n_rows, n_hidden, itemsize):
+    """(row tile, time chunk) sized so streamed blocks pipeline well:
+    row tiles feed the 128-lane MXU, time chunks keep the gates_x
+    block near _CHUNK_BYTES so double buffering stays far under the
+    VMEM ceiling however long the sequence is."""
+    tile = min(256, _round_up(n_rows, 16))
+    chunk = _CHUNK_BYTES // (tile * 4 * n_hidden * itemsize)
+    chunk = max(8, min(_round_up(t_steps, 8), _round_up(chunk, 8)))
+    return tile, chunk
+
+
+def _sig(x):
+    # Mosaic mis-lowers bf16 logistic directly (f32 constant broadcast
+    # into a bf16 vector fails verification); compute in f32 and cast
+    # back — matching XLA's internal upcast, so numerics match the twin
+    return jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _tanh(x):
+    return jnp.tanh(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _gate_slices(gates, h_dim):
+    i = _sig(gates[:, :h_dim])
+    f = _sig(gates[:, h_dim:2 * h_dim])
+    g = _tanh(gates[:, 2 * h_dim:3 * h_dim])
+    o = _sig(gates[:, 3 * h_dim:])
+    return i, f, g, o
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+def _fwd_kernel(gx_ref, whh_ref, h_ref, c_ref, h_scr, c_scr,
+                *, n_hidden):
+    t_chunk = gx_ref.shape[0]
+    w = whh_ref[0]
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        h_scr[...] = jnp.zeros_like(h_scr)
+        c_scr[...] = jnp.zeros_like(c_scr)
+
+    def step(t, _):
+        h_prev = h_scr[...]
+        gates = gx_ref[t, 0] + jnp.dot(
+            h_prev, w, preferred_element_type=jnp.float32
+        ).astype(h_prev.dtype)
+        i, f, g, o = _gate_slices(gates, n_hidden)
+        c = f * c_scr[...] + i * g
+        h = o * _tanh(c)
+        h_scr[...] = h
+        c_scr[...] = c
+        h_ref[t, 0] = h
+        c_ref[t, 0] = c
+        return 0
+
+    jax.lax.fori_loop(0, t_chunk, step, 0, unroll=False)
+
+
+def _fwd_pallas(gates_x, w_hh):
+    t_steps, n_dir, n_rows, gdim = gates_x.shape
+    n_hidden = gdim // 4
+    dt = gates_x.dtype
+    tile, chunk = _pick_blocks(t_steps, n_rows, n_hidden, dt.itemsize)
+    pad_r = -n_rows % tile
+    pad_t = -t_steps % chunk
+    if pad_r or pad_t:
+        gates_x = jnp.pad(
+            gates_x, ((0, pad_t), (0, 0), (0, pad_r), (0, 0)))
+    t_pad, r_pad = t_steps + pad_t, n_rows + pad_r
+
+    out_sd = jax.ShapeDtypeStruct((t_pad, n_dir, r_pad, n_hidden), dt)
+    kernel = functools.partial(_fwd_kernel, n_hidden=n_hidden)
+    h_seq, c_seq = pl.pallas_call(
+        kernel,
+        out_shape=(out_sd, out_sd),
+        grid=(n_dir, r_pad // tile, t_pad // chunk),
+        in_specs=[
+            pl.BlockSpec((chunk, 1, tile, gdim),
+                         lambda d, r, t: (t, d, r, 0)),
+            pl.BlockSpec((1, n_hidden, gdim), lambda d, r, t: (d, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, 1, tile, n_hidden),
+                         lambda d, r, t: (t, d, r, 0)),
+            pl.BlockSpec((chunk, 1, tile, n_hidden),
+                         lambda d, r, t: (t, d, r, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, n_hidden), dt),
+            pltpu.VMEM((tile, n_hidden), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * n_dir * r_pad * n_hidden * gdim,
+            bytes_accessed=t_pad * n_dir * r_pad
+            * (gdim + 2 * n_hidden) * dt.itemsize,
+            transcendentals=t_pad * n_dir * r_pad * gdim,
+        ),
+        interpret=FORCE_INTERPRET,
+    )(gates_x, w_hh)
+    if pad_r or pad_t:
+        h_seq = h_seq[:t_steps, :, :n_rows]
+        c_seq = c_seq[:t_steps, :, :n_rows]
+    return h_seq, c_seq
+
+
+# ---------------------------------------------------------------------------
+# backward: time-reversed grid; gates recomputed from the saved h_seq
+
+def _bwd_kernel(gx_ref, whh_ref, h_ref, c_ref, hb_ref, cb_ref, dh_ref,
+                dgx_ref, dwhh_ref, dh_scr, dc_scr, *, n_hidden):
+    t_chunk = gx_ref.shape[0]
+    w = whh_ref[0]
+    dt = gx_ref.dtype
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    @pl.when((pl.program_id(1) == 0) & (pl.program_id(2) == 0))
+    def _():
+        dwhh_ref[...] = jnp.zeros_like(dwhh_ref)
+
+    def prev_of(ref, boundary_ref, t):
+        # value at chunk-local step t-1; the chunk boundary row holds
+        # the previous chunk's final step (zeros for the first chunk)
+        inside = ref[jnp.maximum(t - 1, 0), 0]
+        return jnp.where(t == 0, boundary_ref[0, 0], inside)
+
+    def bstep(k, dw):
+        t = t_chunk - 1 - k
+        h_prev = prev_of(h_ref, hb_ref, t)
+        c_prev = prev_of(c_ref, cb_ref, t)
+        gates = gx_ref[t, 0] + jnp.dot(
+            h_prev, w, preferred_element_type=jnp.float32).astype(dt)
+        i, f, g, o = _gate_slices(gates, n_hidden)
+        tc = _tanh(c_ref[t, 0])
+        dh = dh_ref[t, 0] + dh_scr[...]
+        do = dh * tc * o * (1 - o)
+        dc = dh * o * (1 - tc * tc) + dc_scr[...]
+        di = dc * g * i * (1 - i)
+        df = dc * c_prev * f * (1 - f)
+        dg = dc * i * (1 - g * g)
+        dgates = jnp.concatenate([di, df, dg, do], axis=-1)
+        # "NT" matmul (contract the gate dim of both operands) instead
+        # of materializing w.T in-kernel
+        dh_scr[...] = jax.lax.dot_general(
+            dgates, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dt)
+        dc_scr[...] = dc * f
+        dgx_ref[t, 0] = dgates
+        return dw + jnp.dot(
+            h_prev.astype(jnp.float32).T, dgates.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+
+    dw = jax.lax.fori_loop(
+        0, t_chunk, bstep,
+        jnp.zeros(dwhh_ref.shape[1:], jnp.float32), unroll=False)
+    dwhh_ref[0] += dw
+
+
+def _bwd_pallas(gates_x, w_hh, h_seq, c_seq, dh_seq):
+    t_steps, n_dir, n_rows, gdim = gates_x.shape
+    n_hidden = gdim // 4
+    dt = gates_x.dtype
+    tile, chunk = _pick_blocks(t_steps, n_rows, n_hidden, dt.itemsize)
+    pad_r = -n_rows % tile
+    pad_t = -t_steps % chunk
+    if pad_r or pad_t:
+        pad = ((0, pad_t), (0, 0), (0, pad_r), (0, 0))
+        gates_x = jnp.pad(gates_x, pad)
+        h_seq = jnp.pad(h_seq, pad[:2] + pad[2:3] + ((0, 0),))
+        c_seq = jnp.pad(c_seq, pad[:2] + pad[2:3] + ((0, 0),))
+        dh_seq = jnp.pad(dh_seq, pad[:2] + pad[2:3] + ((0, 0),))
+    t_pad, r_pad = t_steps + pad_t, n_rows + pad_r
+    n_chunks = t_pad // chunk
+
+    # chunk-boundary carries: (h, c) at the final step of the chunk
+    # BEFORE each chunk (zeros before the first)
+    zero = jnp.zeros((1, n_dir, r_pad, n_hidden), dt)
+    h_bound = jnp.concatenate(
+        [zero, h_seq[chunk - 1::chunk][:-1]], axis=0)
+    c_bound = jnp.concatenate(
+        [zero, c_seq[chunk - 1::chunk][:-1]], axis=0)
+
+    # time-REVERSED visit order: grid step t processes source chunk
+    # (n_chunks - 1 - t) so the (dh, dc) carries flow backwards
+    def rev(d, r, t):
+        return (n_chunks - 1 - t, d, r, 0)
+
+    kernel = functools.partial(_bwd_kernel, n_hidden=n_hidden)
+    seq_spec = pl.BlockSpec((chunk, 1, tile, n_hidden), rev)
+    dgates, dw_hh = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((t_pad, n_dir, r_pad, gdim), dt),
+            jax.ShapeDtypeStruct((n_dir, n_hidden, gdim), jnp.float32),
+        ),
+        grid=(n_dir, r_pad // tile, n_chunks),
+        in_specs=[
+            pl.BlockSpec((chunk, 1, tile, gdim), rev),
+            pl.BlockSpec((1, n_hidden, gdim), lambda d, r, t: (d, 0, 0)),
+            seq_spec,
+            seq_spec,
+            pl.BlockSpec((1, 1, tile, n_hidden), rev),
+            pl.BlockSpec((1, 1, tile, n_hidden), rev),
+            seq_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((chunk, 1, tile, gdim), rev),
+            # same dw block revisited by every (r, t) step: accumulate
+            pl.BlockSpec((1, n_hidden, gdim), lambda d, r, t: (d, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, n_hidden), dt),            # dh carry
+            pltpu.VMEM((tile, n_hidden), dt),            # dc carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * t_pad * n_dir * r_pad * n_hidden * gdim,
+            bytes_accessed=t_pad * n_dir * r_pad
+            * (2 * gdim + 3 * n_hidden) * dt.itemsize,
+            transcendentals=2 * t_pad * n_dir * r_pad * gdim,
+        ),
+        interpret=FORCE_INTERPRET,
+    )(gates_x, w_hh, h_seq, c_seq, h_bound, c_bound, dh_seq)
+    if pad_r or pad_t:
+        dgates = dgates[:t_steps, :, :n_rows]
+    return dgates, dw_hh.astype(w_hh.dtype)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper (same contract as models.rnn.lstm_scan)
+
+@jax.custom_vjp
+def lstm_scan_fused(gates_x, w_hh):
+    """Fused scan over ``gates_x (T, D, R, 4H)`` with ``w_hh (D, H, 4H)``."""
+    h_seq, _ = _fwd_pallas(gates_x, w_hh)
+    return h_seq
+
+
+def _fused_fwd(gates_x, w_hh):
+    h_seq, c_seq = _fwd_pallas(gates_x, w_hh)
+    return h_seq, (gates_x, w_hh, h_seq, c_seq)
+
+
+def _fused_bwd(residuals, dh_seq):
+    gates_x, w_hh, h_seq, c_seq = residuals
+    return _bwd_pallas(gates_x, w_hh, h_seq, c_seq, dh_seq)
+
+
+lstm_scan_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -51,7 +51,13 @@ def _f32_loss(model, variables, batch, lengths, rng):
     return sample_weighted_mean(per_item.astype(jnp.float32), lengths)
 
 
-AMP_ARCHS = ['ffnn', 'convtasnet', 'dccrn', 'tfgridnet', 'sgmsepm']
+# dccrn/tfgridnet/sgmsepm cost 35-60 s each on XLA-CPU: slow-suite
+AMP_ARCHS = [
+    'ffnn', 'convtasnet',
+    pytest.param('dccrn', marks=pytest.mark.slow),
+    pytest.param('tfgridnet', marks=pytest.mark.slow),
+    pytest.param('sgmsepm', marks=pytest.mark.slow),
+]
 
 
 @pytest.mark.parametrize('arch', AMP_ARCHS)

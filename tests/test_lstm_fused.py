@@ -1,0 +1,120 @@
+"""flash-LSTM kernel parity vs the jnp scan twin (interpreter mode).
+
+Same idiom as tests/test_tcn_fused.py: the Pallas kernel runs through
+the interpreter on CPU and must match models.rnn's reference scan in
+forward outputs AND gradients (dgates_x, dw_hh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import brever_tpu.ops.pallas.lstm_scan as fused_mod
+from brever_tpu.models.rnn import _lstm_scan_impl
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(fused_mod, 'FORCE_INTERPRET', True)
+
+
+def _ref_scan(gates_x, w_hh):
+    """models.rnn reference over the (T, D, R, 4H) layout."""
+    h_seq, _ = _lstm_scan_impl(gates_x, w_hh, unroll=1)
+    return h_seq
+
+
+@pytest.mark.parametrize('n_dir,rows,t_steps', [
+    (1, 8, 5),      # unidirectional, rows below one tile
+    (2, 8, 7),      # bidirectional stack
+    (2, 12, 3),     # rows not a multiple of the sublane tile
+    (1, 16, 20),    # several time chunks: carry streams across blocks
+])
+def test_fused_lstm_forward_parity(n_dir, rows, t_steps):
+    h = 128
+    rng = np.random.RandomState(0)
+    gates_x = jnp.asarray(
+        rng.randn(t_steps, n_dir, rows, 4 * h).astype('float32') * 0.3)
+    w_hh = jnp.asarray(rng.randn(n_dir, h, 4 * h).astype('float32') * 0.1)
+    got = fused_mod.lstm_scan_fused(gates_x, w_hh)
+    want = _ref_scan(gates_x, w_hh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_fused_lstm_multichunk_streaming(monkeypatch):
+    """Forward AND gradients must stream correctly across time-chunk
+    boundaries (the (h, c) carry crosses grid steps; the backward
+    reads the chunk-boundary arrays)."""
+    monkeypatch.setattr(fused_mod, '_CHUNK_BYTES', 16 * 512 * 4 * 8)
+    h = 128
+    n_dir, rows, t_steps = 1, 16, 27   # -> chunk 8, 4 chunks, pad 5
+    rng = np.random.RandomState(3)
+    gates_x = jnp.asarray(
+        rng.randn(t_steps, n_dir, rows, 4 * h).astype('float32') * 0.3)
+    w_hh = jnp.asarray(rng.randn(n_dir, h, 4 * h).astype('float32') * 0.1)
+    cot = jnp.asarray(
+        rng.randn(t_steps, n_dir, rows, h).astype('float32'))
+
+    got = fused_mod.lstm_scan_fused(gates_x, w_hh)
+    want = _ref_scan(gates_x, w_hh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    g_fused = jax.grad(
+        lambda gx, w: jnp.sum(fused_mod.lstm_scan_fused(gx, w) * cot),
+        argnums=(0, 1))(gates_x, w_hh)
+    g_ref = jax.grad(
+        lambda gx, w: jnp.sum(_ref_scan(gx, w) * cot),
+        argnums=(0, 1))(gates_x, w_hh)
+    np.testing.assert_allclose(np.asarray(g_fused[0]),
+                               np.asarray(g_ref[0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_fused[1]),
+                               np.asarray(g_ref[1]),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_fused_lstm_gradient_parity():
+    h = 128
+    n_dir, rows, t_steps = 2, 8, 6
+    rng = np.random.RandomState(1)
+    gates_x = jnp.asarray(
+        rng.randn(t_steps, n_dir, rows, 4 * h).astype('float32') * 0.3)
+    w_hh = jnp.asarray(rng.randn(n_dir, h, 4 * h).astype('float32') * 0.1)
+    # weight the output so every (t, d, r, k) position matters
+    cot = jnp.asarray(
+        rng.randn(t_steps, n_dir, rows, h).astype('float32'))
+
+    def loss_fused(gx, w):
+        return jnp.sum(fused_mod.lstm_scan_fused(gx, w) * cot)
+
+    def loss_ref(gx, w):
+        return jnp.sum(_ref_scan(gx, w) * cot)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(gates_x, w_hh)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(gates_x, w_hh)
+    for got, want, tol in [(g_fused[0], g_ref[0], 2e-4),
+                           (g_fused[1], g_ref[1], 2e-3)]:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=tol)
+
+
+def test_fused_lstm_unidirectional_wrapper(monkeypatch):
+    """The (T, B, 4H) path through models.rnn dispatch reshapes into
+    the kernel layout and back."""
+    monkeypatch.setenv('BREVER_FUSED_LSTM', '1')
+    from brever_tpu.models.rnn import (_dispatch_scan, _use_fused_scan,
+                                       lstm_scan)
+    h = 128
+    rng = np.random.RandomState(2)
+    gates_x = jnp.asarray(
+        rng.randn(4, 128, 4 * h).astype('float32') * 0.3)
+    w_hh = jnp.asarray(rng.randn(h, 4 * h).astype('float32') * 0.1)
+    assert _use_fused_scan(gates_x, w_hh)
+    # narrow recurrences stay on the XLA scan (MXU would idle)
+    assert not _use_fused_scan(gates_x[:, :32], w_hh)
+    want = lstm_scan(gates_x, w_hh, 1)
+    got = _dispatch_scan(gates_x, w_hh, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)

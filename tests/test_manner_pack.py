@@ -106,6 +106,7 @@ def test_packed_forward_matches_unpacked(modules_and_variables):
                                    err_msg=str(p1))
 
 
+@pytest.mark.slow
 def test_packed_gradients_match_unpacked(modules_and_variables):
     m_ref, m_pk, variables, x = modules_and_variables
 

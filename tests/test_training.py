@@ -254,6 +254,7 @@ def test_dccrn_causal_latency():
     assert nan_idx[0] >= onset - model.latency
 
 
+@pytest.mark.slow
 def test_tfgridnet_is_noncausal():
     """TF-GridNet claims no latency (full-band attention + BLSTMs):
     a NaN at any position must reach the first output sample, so no
@@ -536,11 +537,13 @@ GOLDEN_PARAMS = {
         -0.00011604638, 0.000589328,
     ],
     'metricganokd': [
-        -0.0007576325, -0.00076537736,
-        -0.0007696939, 0.0006674967,
-        -0.18472058, 0.24358179,
-        0.09807721, 0.1066913,
-        -0.15087542, -0.039078273,
+        # re-pinned after the round-3 precompute-transform change
+        # (cached per-item STFTs/noisy scores alter the batch stream)
+        -0.00078291912, -0.00078629458,
+        -0.00078472198, 0.00047548671,
+        -0.18478276, 0.24352835,
+        0.098007053, 0.10662813,
+        -0.15091458, -0.039138302,
     ],
     'manner': [
         -0.29171228, -0.16947821,
@@ -580,7 +583,16 @@ GOLDEN_TRAINER_KWARGS = {
     'idmse': dict(ema=True),
 }
 
+# trajectory pins for the cheap-to-train archs run in the default
+# suite; the heavyweights (>60 s each on XLA-CPU) run under -m slow
+_HEAVY_GOLDEN = {'manner', 'metricganokd', 'tfgridnet', 'sgmsepm',
+                 'idmse'}
 _FAST_GOLDEN = sorted(set(GOLDEN_PARAMS) - {'manner'})
+_FAST_GOLDEN = [
+    pytest.param(a, marks=pytest.mark.slow) if a in _HEAVY_GOLDEN
+    else a
+    for a in _FAST_GOLDEN
+]
 
 
 def _run_golden(tmp_path, arch):
