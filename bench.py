@@ -30,9 +30,33 @@ import os
 import sys
 
 
+def _require_live_backend(deadline_s=180):
+    """Fail fast (rc 3) when the tunneled TPU backend is unreachable.
+
+    A wedged tunnel makes ``jax.devices()`` block forever; without this
+    guard the whole driver budget is burned producing an unexplained
+    rc=124 (observed round 3: the tunnel can stay wedged for hours
+    after a client is killed mid-compile)."""
+    import threading
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        ok.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not ok.wait(deadline_s):
+        print(f'FATAL: jax backend init did not complete in '
+              f'{deadline_s}s — TPU tunnel unreachable; no benchmark '
+              f'number can be produced', file=sys.stderr, flush=True)
+        os._exit(3)
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
+    _require_live_backend()
     # NOTE: the persistent XLA compile cache is deliberately NOT
     # enabled here. On the tunneled single-chip backend a cache hit
     # must push the ~100 MB serialized executable through the slow

@@ -80,6 +80,7 @@ def test_amp_loss_finite_and_close(arch):
     assert amp == pytest.approx(ref, rel=0.1), (amp, ref)
 
 
+@pytest.mark.slow
 def test_tfgridnet_trunk_runs_bf16():
     model = ModelRegistry.get('tfgridnet')(**GOLDEN_KWARGS['tfgridnet'])
     variables = model.init_variables(jax.random.PRNGKey(0))
@@ -92,6 +93,7 @@ def test_tfgridnet_trunk_runs_bf16():
     assert out.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_dccrn_trunk_runs_bf16():
     model = ModelRegistry.get('dccrn')(**GOLDEN_KWARGS['dccrn'])
     variables = model.init_variables(jax.random.PRNGKey(0))
@@ -105,6 +107,7 @@ def test_dccrn_trunk_runs_bf16():
     assert out.dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_sgmse_trunk_runs_bf16():
     model = ModelRegistry.get('sgmsepm')(
         **{**GOLDEN_KWARGS['sgmsepm']})

@@ -48,7 +48,7 @@ def test_fused_lstm_multichunk_streaming(monkeypatch):
     reads the chunk-boundary arrays)."""
     monkeypatch.setattr(fused_mod, '_CHUNK_BYTES', 16 * 512 * 4 * 8)
     h = 128
-    n_dir, rows, t_steps = 1, 16, 27   # -> chunk 8, 4 chunks, pad 5
+    n_dir, rows, t_steps = 1, 16, 11   # -> chunk 8, 2 chunks, pad 5
     rng = np.random.RandomState(3)
     gates_x = jnp.asarray(
         rng.randn(t_steps, n_dir, rows, 4 * h).astype('float32') * 0.3)

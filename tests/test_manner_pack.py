@@ -73,6 +73,7 @@ def modules_and_variables():
     return m_ref, m_pk, variables, x
 
 
+@pytest.mark.slow
 def test_param_tree_layout_independent(modules_and_variables):
     m_ref, m_pk, variables, x = modules_and_variables
     v_pk = m_pk.init(jax.random.PRNGKey(0), x, train=False)
@@ -85,6 +86,7 @@ def test_param_tree_layout_independent(modules_and_variables):
         np.testing.assert_allclose(l1, l2, err_msg=str(p1))
 
 
+@pytest.mark.slow
 def test_packed_forward_matches_unpacked(modules_and_variables):
     m_ref, m_pk, variables, x = modules_and_variables
     y_ref = np.asarray(m_ref.apply(variables, x, train=False))
