@@ -106,6 +106,40 @@ class _ConvBlock(nn.Module):
         return residual, skip
 
 
+class _DilationSweep(nn.Module):
+    """One full dilation sweep (``layers`` blocks, residuals kept).
+
+    The scan body for :class:`_TCN`: every repeat except the last is
+    structurally identical, so the repeats are folded into one
+    ``nn.scan`` — XLA traces and compiles the sweep ONCE instead of
+    ``repeats`` times (the TCN dominated Conv-TasNet's compile time;
+    the reference instantiates every block eagerly,
+    reference brever/models/convtasnet/convtasnet.py)."""
+    bottleneck_channels: int
+    hidden_channels: int
+    skip_channels: int
+    kernel_size: int
+    layers: int
+    causal: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, skip_sum = carry
+        for i in range(self.layers):
+            x, skip = _ConvBlock(
+                input_channels=self.bottleneck_channels,
+                hidden_channels=self.hidden_channels,
+                skip_channels=self.skip_channels,
+                kernel_size=self.kernel_size,
+                dilation=2**i,
+                causal=self.causal,
+                last=False,
+                name=f'block_{i}',
+            )(x)
+            skip_sum = skip_sum + skip
+        return (x, skip_sum), None
+
+
 class _TCN(nn.Module):
     input_channels: int
     bottleneck_channels: int
@@ -122,21 +156,41 @@ class _TCN(nn.Module):
         # x: (batch, time, filters)
         x = make_norm(self.causal)(x)
         x = nn.Dense(self.bottleneck_channels, name='bottleneck')(x)
-        skip_sum = 0
-        for b in range(self.repeats):
-            for i in range(self.layers):
-                last = b == self.repeats - 1 and i == self.layers - 1
-                x, skip = _ConvBlock(
-                    input_channels=self.bottleneck_channels,
-                    hidden_channels=self.hidden_channels,
-                    skip_channels=self.skip_channels,
-                    kernel_size=self.kernel_size,
-                    dilation=2**i,
-                    causal=self.causal,
-                    last=last,
-                    name=f'block_{b}_{i}',
-                )(x)
-                skip_sum = skip_sum + skip
+        batch, time, _ = x.shape
+        skip_sum = jnp.zeros((batch, time, self.skip_channels), x.dtype)
+        # repeats 0..R-2 share one scanned sweep; the final repeat is
+        # inlined because its last block drops the residual conv (the
+        # parameter tree must match the reference's: no res weights on
+        # the terminal block)
+        if self.repeats > 1:
+            sweep = nn.scan(
+                _DilationSweep,
+                variable_axes={'params': 0},
+                split_rngs={'params': True},
+                length=self.repeats - 1,
+            )(
+                bottleneck_channels=self.bottleneck_channels,
+                hidden_channels=self.hidden_channels,
+                skip_channels=self.skip_channels,
+                kernel_size=self.kernel_size,
+                layers=self.layers,
+                causal=self.causal,
+                name='sweeps',
+            )
+            (x, skip_sum), _ = sweep((x, skip_sum), None)
+        for i in range(self.layers):
+            last = i == self.layers - 1
+            x, skip = _ConvBlock(
+                input_channels=self.bottleneck_channels,
+                hidden_channels=self.hidden_channels,
+                skip_channels=self.skip_channels,
+                kernel_size=self.kernel_size,
+                dilation=2**i,
+                causal=self.causal,
+                last=last,
+                name=f'block_last_{i}',
+            )(x)
+            skip_sum = skip_sum + skip
         out = PReLU(name='prelu_out')(skip_sum)
         out = nn.Dense(self.input_channels * self.sources, name='mask')(out)
         out = nn.sigmoid(out)

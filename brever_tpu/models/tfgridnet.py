@@ -169,6 +169,35 @@ class _GridBlock(nn.Module):
         return x + out
 
 
+class _GridBlockScan(nn.Module):
+    """(carry, _) -> (carry, None) adapter so the identical grid
+    blocks stack under ``nn.scan`` (params gain a leading n_layers
+    axis; the block is traced and compiled once)."""
+    emb_dim: int
+    emb_ks: int
+    emb_hs: int
+    n_freqs: int
+    hidden: int
+    n_head: int
+    approx_qk_dim: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, h, _):
+        h = _GridBlock(
+            emb_dim=self.emb_dim,
+            emb_ks=self.emb_ks,
+            emb_hs=self.emb_hs,
+            n_freqs=self.n_freqs,
+            hidden=self.hidden,
+            n_head=self.n_head,
+            approx_qk_dim=self.approx_qk_dim,
+            eps=self.eps,
+            name='block',
+        )(h)
+        return h, None
+
+
 class _TFGridNetModule(nn.Module):
     n_srcs: int
     n_freqs: int
@@ -196,19 +225,29 @@ class _TFGridNetModule(nn.Module):
         # The recompute costs HBM traffic (the train step runs at ~98 %
         # of the bandwidth roofline), so small batches that fit without
         # remat should turn it off (module.replace(remat=False)).
-        block_cls = nn.remat(_GridBlock) if self.remat else _GridBlock
-        for i in range(self.n_layers):
-            h = block_cls(
-                emb_dim=self.emb_dim,
-                emb_ks=self.emb_ks,
-                emb_hs=self.emb_hs,
-                n_freqs=self.n_freqs,
-                hidden=self.hidden,
-                n_head=self.n_head,
-                approx_qk_dim=self.approx_qk_dim,
-                eps=self.eps,
-                name=f'block_{i}',
-            )(h)
+        #
+        # The n_layers identical blocks are folded into one nn.scan so
+        # XLA traces and compiles the block ONCE (6 inlined grid
+        # blocks dominated this model's compile time).
+        block_cls = nn.remat(_GridBlockScan) if self.remat \
+            else _GridBlockScan
+        blocks = nn.scan(
+            block_cls,
+            variable_axes={'params': 0},
+            split_rngs={'params': True},
+            length=self.n_layers,
+        )(
+            emb_dim=self.emb_dim,
+            emb_ks=self.emb_ks,
+            emb_hs=self.emb_hs,
+            n_freqs=self.n_freqs,
+            hidden=self.hidden,
+            n_head=self.n_head,
+            approx_qk_dim=self.approx_qk_dim,
+            eps=self.eps,
+            name='blocks',
+        )
+        h, _ = blocks(h, None)
         out = nn.ConvTranspose(
             self.n_srcs * 2, kernel_size=(3, 3),
             padding=((1, 1), (1, 1)), name='deconv')(h)

@@ -495,10 +495,12 @@ GOLDEN_PARAMS = {
         2.642084473336581e-05, -0.0007691208156757057,
     ],
     'convtasnet': [
-        0.010946953669190407, 0.03836086392402649, -0.025429803878068924,
-        -0.01223459281027317, 0.05401523411273956, -0.006896559614688158,
-        0.018995529040694237, 0.020519014447927475, 0.0553530752658844,
-        0.015269199386239052,
+        # re-pinned after the scan-over-repeats TCN (round 3): the
+        # scanned sweeps draw init rngs through nn.scan's split
+        0.012224154, 0.038456824, -0.024695193,
+        -0.020583695, 0.05196707, -0.0048654391,
+        0.018662848, 0.018949844, 0.05493363,
+        0.014734837,
     ],
     # dccrn/tfgridnet pins regenerated after the memory-lean LSTM
     # scan (models/rnn.py lstm_scan custom VJP) — mathematically
@@ -516,11 +518,12 @@ GOLDEN_PARAMS = {
         0.119980976, -0.004849142,
     ],
     'tfgridnet': [
-        0.006724404, -0.0034712055,
-        0.32104728, 0.13064171,
-        0.55146426, -0.18080352,
-        0.38389459, -0.21123187,
-        0.14836894, -0.19995272,
+        # re-pinned after the scan-over-blocks refactor (round 3)
+        0.00076818839, -0.0050409818,
+        0.21938279, 0.17312911,
+        0.55982852, -0.03299816,
+        -0.41639253, 0.44734427,
+        0.17834967, -0.33927625,
     ],
     'sgmsepm': [
         0.00017847121, -0.00041266135,
