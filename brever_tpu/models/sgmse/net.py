@@ -20,19 +20,42 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.normalization import group_norm_silu
 from ...ops.resampling import Resampler
 
 
+class _GNParams(nn.Module):
+    """Owns the GroupNorm affine params under the same tree path
+    (``.../GroupNorm_0/{scale,bias}``) as the ``nn.GroupNorm`` child
+    this module replaced — checkpoints stay loadable."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param('scale', nn.initializers.ones, (self.channels,))
+        bias = self.param('bias', nn.initializers.zeros, (self.channels,))
+        return scale, bias
+
+
 class GroupNorm(nn.Module):
-    """GroupNorm with the EDM group-count rule min(32, C // 4)."""
+    """GroupNorm with the EDM group-count rule min(32, C // 4), fused
+    with the optional conditioning affine and SiLU through the
+    memory-lean custom VJP (:func:`...ops.normalization.group_norm_silu`
+    — residuals are the input + O(B*C) statistics instead of the full
+    pre-activation stash)."""
 
     channels: int
     eps: float = 1e-6
+    silu: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ext_scale=None, ext_shift=None):
         groups = min(32, self.channels // 4)
-        return nn.GroupNorm(num_groups=groups, epsilon=self.eps)(x)
+        scale, bias = _GNParams(self.channels, name='GroupNorm_0')()
+        return group_norm_silu(
+            x, scale, bias, groups, self.eps,
+            ext_scale=ext_scale, ext_shift=ext_shift, apply_silu=self.silu)
 
 
 class NoiseEmbedding(nn.Module):
@@ -96,7 +119,7 @@ class UNetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, resampler=None, deterministic=True):
-        h = nn.silu(GroupNorm(self.in_channels, name='norm_1')(x))
+        h = GroupNorm(self.in_channels, silu=True, name='norm_1')(x)
         if resampler is not None:
             h = resampler(h, self.up_or_down)
             x = resampler(x, self.up_or_down)
@@ -105,11 +128,11 @@ class UNetBlock(nn.Module):
         e = nn.Dense(emb_dim, name='linear')(emb)[:, None, None, :]
         if self.block_type == 'adm':
             scale, shift = jnp.split(e, 2, axis=-1)
-            h = (scale + 1) * GroupNorm(
-                self.out_channels, name='norm_2')(h) + shift
+            h = GroupNorm(self.out_channels, silu=True, name='norm_2')(
+                h, ext_scale=scale + 1, ext_shift=shift)
         else:
-            h = GroupNorm(self.out_channels, name='norm_2')(h + e)
-        h = nn.silu(h)
+            h = GroupNorm(self.out_channels, silu=True,
+                          name='norm_2')(h + e)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name='conv_2')(h)
         if self.in_channels != self.out_channels or (
@@ -265,8 +288,8 @@ class DiffusionUNet(nn.Module):
                 if i != num_res - 1:
                     aux = resampler.up(aux) if aux is not None else None
                 if self.decoder_type == 'skip' or i == num_res - 1:
-                    h = nn.silu(GroupNorm(channels[i],
-                                          name=f'aux_up_norm_{i}')(x))
+                    h = GroupNorm(channels[i], silu=True,
+                                  name=f'aux_up_norm_{i}')(x)
                     out_ch = self.aux_out_channels \
                         if self.decoder_type == 'skip' else channels[i]
                     h = nn.Conv(out_ch, (3, 3), padding=1,

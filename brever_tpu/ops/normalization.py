@@ -9,6 +9,9 @@ Pure functions over arrays; flax modules in the model zoo wrap these with
 learned gain/bias parameters.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
@@ -78,3 +81,144 @@ def causal_layer_norm(x, gain=None, bias=None, time_dim=-1, eps=1e-10):
 def causal_instance_norm(x, gain=None, bias=None, time_dim=-1, eps=1e-10):
     """Cumulative instance norm (one group per channel)."""
     return causal_group_norm(x, x.shape[1], gain, bias, time_dim, eps)
+
+
+# ---------------------------------------------------------------------------
+# fused GroupNorm(+SiLU) with a memory-lean custom VJP
+
+def _silu_f32(z):
+    s = jax.nn.sigmoid(z)
+    return z * s
+
+
+def _dsilu_f32(z):
+    s = jax.nn.sigmoid(z)
+    return s * (1.0 + z * (1.0 - s))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gn_silu(num_groups, eps, apply_silu, has_ext):
+    """Build the custom-VJP GroupNorm(+SiLU) for a static config.
+
+    Why a custom VJP: under plain autodiff the SiLU saves its input —
+    the full pre-activation tensor — purely so the backward can reread
+    it. On byte-bound models (the diffusion U-Net runs 2 GroupNorm+SiLU
+    pairs per block at up to (B, 256, T, 128)) that stash is an extra
+    full-tensor HBM write in the forward and read in the backward. The
+    residuals here are only ``(x, mean, rstd)`` (+ the tiny affine
+    terms); the backward recomputes the normalized tensor and the SiLU
+    derivative from ``x`` on the fly, fused by XLA into the reduction
+    passes it must run anyway. Statistics in f32 like ``nn.GroupNorm``
+    (fast-variance form: var = E[x^2] - E[x]^2).
+    """
+
+    def _stats(x32, shape3):
+        b, n, c = shape3
+        xg = x32.reshape(b, n, num_groups, c // num_groups)
+        mean = xg.mean(axis=(1, 3))                       # (B, G)
+        var = (xg * xg).mean(axis=(1, 3)) - mean * mean
+        rstd = jax.lax.rsqrt(var + eps)
+        reps = c // num_groups
+        return (jnp.repeat(mean, reps, axis=-1),          # (B, C)
+                jnp.repeat(rstd, reps, axis=-1))
+
+    def _apply(x32, mean_c, rstd_c, scale, bias, ext_scale, ext_shift):
+        xhat = (x32 - mean_c[:, None, :]) * rstd_c[:, None, :]
+        z = xhat * scale + bias
+        if has_ext:
+            z = z * ext_scale[:, None, :] + ext_shift[:, None, :]
+        return xhat, z
+
+    @jax.custom_vjp
+    def f(x, scale, bias, ext_scale, ext_shift):
+        b, n, c = x.shape
+        x32 = x.astype(jnp.float32)
+        mean_c, rstd_c = _stats(x32, (b, n, c))
+        _, z = _apply(x32, mean_c, rstd_c,
+                      scale.astype(jnp.float32), bias.astype(jnp.float32),
+                      None if not has_ext else ext_scale.astype(jnp.float32),
+                      None if not has_ext else ext_shift.astype(jnp.float32))
+        y = _silu_f32(z) if apply_silu else z
+        return y.astype(jnp.result_type(x, scale))
+
+    def fwd(x, scale, bias, ext_scale, ext_shift):
+        b, n, c = x.shape
+        x32 = x.astype(jnp.float32)
+        mean_c, rstd_c = _stats(x32, (b, n, c))
+        _, z = _apply(x32, mean_c, rstd_c,
+                      scale.astype(jnp.float32), bias.astype(jnp.float32),
+                      None if not has_ext else ext_scale.astype(jnp.float32),
+                      None if not has_ext else ext_shift.astype(jnp.float32))
+        y = _silu_f32(z) if apply_silu else z
+        y = y.astype(jnp.result_type(x, scale))
+        # residuals: the input and O(B*C) statistics — no (B, N, C)
+        # pre-activation stash
+        return y, (x, mean_c, rstd_c, scale, bias, ext_scale, ext_shift)
+
+    def bwd(res, dy):
+        x, mean_c, rstd_c, scale, bias, ext_scale, ext_shift = res
+        b, n, c = x.shape
+        x32 = x.astype(jnp.float32)
+        dy32 = dy.astype(jnp.float32)
+        scale32 = scale.astype(jnp.float32)
+        ext_scale32 = ext_scale.astype(jnp.float32) if has_ext else None
+        ext_shift32 = ext_shift.astype(jnp.float32) if has_ext else None
+        xhat, z = _apply(x32, mean_c, rstd_c, scale32,
+                         bias.astype(jnp.float32),
+                         ext_scale32, ext_shift32)
+        dz = dy32 * _dsilu_f32(z) if apply_silu else dy32
+        if has_ext:
+            z0 = xhat * scale32 + bias.astype(jnp.float32)
+            d_ext_scale = (dz * z0).sum(axis=1).astype(ext_scale.dtype)
+            d_ext_shift = dz.sum(axis=1).astype(ext_shift.dtype)
+            dz0 = dz * ext_scale32[:, None, :]
+        else:
+            d_ext_scale = jnp.zeros_like(ext_scale)
+            d_ext_shift = jnp.zeros_like(ext_shift)
+            dz0 = dz
+        d_scale = (dz0 * xhat).sum(axis=(0, 1)).astype(scale.dtype)
+        d_bias = dz0.sum(axis=(0, 1)).astype(bias.dtype)
+        dxhat = dz0 * scale32
+        # per-group means of dxhat and dxhat*xhat
+        reps = c // num_groups
+
+        def gmean(t):
+            tg = t.reshape(b, n, num_groups, reps).mean(axis=(1, 3))
+            return jnp.repeat(tg, reps, axis=-1)[:, None, :]
+
+        dx = rstd_c[:, None, :] * (
+            dxhat - gmean(dxhat) - xhat * gmean(dxhat * xhat))
+        return (dx.astype(x.dtype), d_scale, d_bias,
+                d_ext_scale, d_ext_shift)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def group_norm_silu(x, scale, bias, num_groups, eps=1e-6,
+                    ext_scale=None, ext_shift=None, apply_silu=True):
+    """GroupNorm -> optional per-(batch, channel) affine -> SiLU, with a
+    memory-lean custom VJP (residuals: input + O(B*C) statistics).
+
+    ``x``: (B, *spatial, C); ``scale``/``bias``: (C,) learned affine;
+    ``ext_scale``/``ext_shift``: optional (B, C) conditioning terms
+    (ADM-style ``(s + 1) * GN(x) + t``), both given or both None.
+    Matches ``nn.GroupNorm`` statistics (f32, fast-variance) followed by
+    ``nn.silu``; reference for the consumer: brever/models/sgmse/net.py.
+    """
+    if (ext_scale is None) != (ext_shift is None):
+        raise ValueError('ext_scale and ext_shift must be given together')
+    shape = x.shape
+    b, c = shape[0], shape[-1]
+    if c % num_groups:
+        raise ValueError(f'channels {c} not divisible by {num_groups} groups')
+    has_ext = ext_scale is not None
+    f = _make_gn_silu(num_groups, float(eps), bool(apply_silu), has_ext)
+    x3 = x.reshape(b, -1, c)
+    if has_ext:
+        ext_scale = ext_scale.reshape(b, c)
+        ext_shift = ext_shift.reshape(b, c)
+    else:
+        # static dummies; their grads are discarded by custom_vjp
+        ext_scale = ext_shift = jnp.zeros((b, c), x.dtype)
+    return f(x3, scale, bias, ext_scale, ext_shift).reshape(shape)
