@@ -211,6 +211,14 @@ class _TFGridNetModule(nn.Module):
     eps: float = 1e-5
     n_imics: int = 2
     remat: bool = True
+    # scan_blocks=True compiles the grid block once (nn.scan with a
+    # leading n_layers param axis) — the compile-budget operating
+    # point. False inlines the blocks, giving XLA cross-block
+    # scheduling freedom at n_layers x the compile time (measured
+    # faster per step under the XLA BLSTM scan; re-A/B on the chip
+    # whenever the block internals change). The two points have
+    # different parameter-tree shapes, so checkpoints don't transfer.
+    scan_blocks: bool = True
 
     @nn.compact
     def __call__(self, spec):
@@ -229,14 +237,7 @@ class _TFGridNetModule(nn.Module):
         # The n_layers identical blocks are folded into one nn.scan so
         # XLA traces and compiles the block ONCE (6 inlined grid
         # blocks dominated this model's compile time).
-        block_cls = nn.remat(_GridBlockScan) if self.remat \
-            else _GridBlockScan
-        blocks = nn.scan(
-            block_cls,
-            variable_axes={'params': 0},
-            split_rngs={'params': True},
-            length=self.n_layers,
-        )(
+        block_kwargs = dict(
             emb_dim=self.emb_dim,
             emb_ks=self.emb_ks,
             emb_hs=self.emb_hs,
@@ -245,9 +246,22 @@ class _TFGridNetModule(nn.Module):
             n_head=self.n_head,
             approx_qk_dim=self.approx_qk_dim,
             eps=self.eps,
-            name='blocks',
         )
-        h, _ = blocks(h, None)
+        if self.scan_blocks:
+            block_cls = nn.remat(_GridBlockScan) if self.remat \
+                else _GridBlockScan
+            blocks = nn.scan(
+                block_cls,
+                variable_axes={'params': 0},
+                split_rngs={'params': True},
+                length=self.n_layers,
+            )(**block_kwargs, name='blocks')
+            h, _ = blocks(h, None)
+        else:
+            block_cls = nn.remat(_GridBlock) if self.remat \
+                else _GridBlock
+            for i in range(self.n_layers):
+                h = block_cls(**block_kwargs, name=f'block_{i}')(h)
         out = nn.ConvTranspose(
             self.n_srcs * 2, kernel_size=(3, 3),
             padding=((1, 1), (1, 1)), name='deconv')(h)
