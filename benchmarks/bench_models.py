@@ -95,9 +95,14 @@ def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
     if arch == 'tfgridnet':
         # batch 4 in bf16 fits without grid-block remat; skipping the
         # recompute saves HBM traffic on this bandwidth-bound model
-        # (measured 152 -> 137 ms/step)
+        # (measured 152 -> 137 ms/step). BENCH_TFGRIDNET_INLINE=1
+        # additionally A/Bs the inlined-blocks operating point
+        # (scan_blocks=False: more scheduling freedom, n_layers x the
+        # compile time).
         import dataclasses
-        model.module = dataclasses.replace(model.module, remat=False)
+        model.module = dataclasses.replace(
+            model.module, remat=False,
+            scan_blocks=not os.environ.get('BENCH_TFGRIDNET_INLINE'))
     if arch in ('sgmsepm', 'sgmsep', 'idmse'):
         # same trade for the diffusion U-Net (427 -> 390 ms/step at
         # batch 4 bf16)

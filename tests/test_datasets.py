@@ -101,12 +101,18 @@ def test_dataset_loads_and_segments(project):
             else:
                 expected += full + (0 if full * seg == n else 1)
         assert len(ds) == expected, strategy
-        # all segments have the declared length
-        for i in range(len(ds)):
+        # segments have the declared length (decode a sample of
+        # indices — first, interior, boundary-adjacent, last — rather
+        # than every segment; the full sweep is O(dataset) FLAC
+        # decodes x 4 strategies)
+        probe = sorted({0, 1, len(ds) // 2, len(ds) - 2, len(ds) - 1}
+                       & set(range(len(ds))))
+        for i in probe:
             want = ds.get_segment_length(i)
             assert ds[i].shape[-1] == want
-            if strategy in ('drop', 'pad'):
-                assert want == seg
+        if strategy in ('drop', 'pad'):
+            assert all(ds.get_segment_length(i) == seg
+                       for i in range(len(ds)))
 
 
 def test_dataset_random_strategy(project):

@@ -237,6 +237,7 @@ def test_dccrn_param_count():
     assert _shape_count(ModelRegistry.get('dccrn')()) == 3671053
 
 
+@pytest.mark.slow
 def test_dccrn_causal_latency():
     """NaN-injection probe of ``DCCRN.latency`` (reference
     tests/test_models.py:57-80 pattern; latency property at
@@ -337,19 +338,29 @@ def test_sgmse_small_trains(tmp_path, arch):
     assert all(np.isfinite(x) for x in losses if isinstance(x, float))
 
 
-def test_sgmse_enhance_solvers():
+def _run_sgmse_enhance(arch):
     import jax.numpy as jnp
-    for arch in ('sgmsepm', 'sgmsepmheun'):
-        model = ModelRegistry.get(arch)(
-            net_base_channels=16, net_channel_mult=[1, 2],
-            net_num_blocks_per_res=1, solver_num_steps=1,
-            net_attn_bottleneck=False, stft_frame_length=128,
-            stft_hop_length=64)
-        variables = model.init_variables(jax.random.PRNGKey(0))
-        x = np.random.RandomState(0).randn(1, 2, 2000).astype('float32')
-        out = model.enhance(variables, jnp.asarray(x))
-        assert out.shape == (1, 2000)
-        assert np.isfinite(np.asarray(out)).all()
+    model = ModelRegistry.get(arch)(
+        net_base_channels=16, net_channel_mult=[1, 2],
+        net_num_blocks_per_res=1, solver_num_steps=1,
+        net_attn_bottleneck=False, stft_frame_length=128,
+        stft_hop_length=64)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).randn(1, 2, 2000).astype('float32')
+    out = model.enhance(variables, jnp.asarray(x))
+    assert out.shape == (1, 2000)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sgmse_enhance_euler_solver():
+    _run_sgmse_enhance('sgmsepm')
+
+
+@pytest.mark.slow
+def test_sgmse_enhance_heun_solver():
+    # same reverse-SDE machinery as the euler test with a second
+    # network evaluation per step; compile-heavy on XLA-CPU
+    _run_sgmse_enhance('sgmsepmheun')
 
 
 def test_sde_registry_contracts():
@@ -455,6 +466,7 @@ def test_metricgan_precompute_metric(tmp_path):
     assert all(np.isfinite(v) for v in losses[0].values())
 
 
+@pytest.mark.slow
 def test_metricgan_enhance():
     model = ModelRegistry.get('metricganp')(
         target_metrics=['stoi'], inference_metric='stoi',
@@ -589,7 +601,7 @@ GOLDEN_TRAINER_KWARGS = {
 # trajectory pins for the cheap-to-train archs run in the default
 # suite; the heavyweights (>60 s each on XLA-CPU) run under -m slow
 _HEAVY_GOLDEN = {'manner', 'metricganokd', 'tfgridnet', 'sgmsepm',
-                 'idmse'}
+                 'idmse', 'dccrn'}
 _FAST_GOLDEN = sorted(set(GOLDEN_PARAMS) - {'manner'})
 _FAST_GOLDEN = [
     pytest.param(a, marks=pytest.mark.slow) if a in _HEAVY_GOLDEN
