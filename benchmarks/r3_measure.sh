@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-3 TPU measurement runbook: run as soon as the tunnel is live.
+# Appends one labeled block per experiment to benchmarks/r3_measure.log
+# so partial completion still leaves usable numbers.
+#
+#   bash benchmarks/r3_measure.sh [log_path]
+#
+# Experiments, in priority order:
+#   1. driver-view bench.py (headline must land inside ~600 s) — twice
+#   2. per-arch step/compile after the round-3 changes:
+#      convtasnet (scan-over-repeats), tfgridnet (scan + flash-LSTM),
+#      sgmsepm (fused GroupNorm+SiLU), dccrn / manner / metricganokd
+#   3. tfgridnet inlined-blocks A/B (BENCH_TFGRIDNET_INLINE=1)
+
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-benchmarks/r3_measure.log}
+
+run() {
+    local label=$1; shift
+    echo "=== $label $(date -u +%H:%M:%S) ===" >> "$LOG"
+    ( time timeout 900 "$@" ) >> "$LOG" 2>&1
+    echo "--- rc=$? ---" >> "$LOG"
+}
+
+run bench_headline_1 env BENCH_ARCHS=convtasnet python bench.py
+run bench_headline_2 env BENCH_ARCHS=convtasnet python bench.py
+run tfgridnet_scan python benchmarks/bench_models.py tfgridnet
+run tfgridnet_inline env BENCH_TFGRIDNET_INLINE=1 \
+    python benchmarks/bench_models.py tfgridnet
+run sgmsepm python benchmarks/bench_models.py sgmsepm
+run dccrn python benchmarks/bench_models.py dccrn
+run manner python benchmarks/bench_models.py manner
+run metricganokd python benchmarks/bench_models.py metricganokd
+run ffnn python benchmarks/bench_models.py ffnn
+echo "ALL DONE $(date -u)" >> "$LOG"

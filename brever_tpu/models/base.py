@@ -109,6 +109,18 @@ class BreverBaseModel:
         collections)."""
         raise NotImplementedError
 
+    @staticmethod
+    def _jit_init(init_fn, rng, *args):
+        """Run a flax ``init`` closure as ONE jitted graph.
+
+        Eager flax init dispatches every primitive as its own XLA
+        executable: hundreds of tiny compiles that fall under the
+        persistent-cache threshold on CPU and are each a ~1 s remote
+        round trip on the tunneled TPU backend. Tracing the whole init
+        into a single jit makes it one compile, cached persistently.
+        """
+        return jax.jit(init_fn)(rng, *args)
+
     def optimizer(self):
         """optax chain; single transformation or tuple for multi-opt
         models (GANs)."""
@@ -167,7 +179,14 @@ class BreverBaseModel:
 
     def enhance(self, variables, x, rng=None):
         """Unbatched/batched enhancement wrapper (reference
-        brever/models/base.py:122-176)."""
+        brever/models/base.py:122-176).
+
+        ``_enhance`` runs under a cached ``jax.jit``: eager flax apply
+        dispatches every primitive as its own executable (a remote
+        round trip each on the tunneled TPU backend). One trace per
+        input shape; validation/eval batches are padded to a few
+        static shapes so the cache stays small.
+        """
         x = jnp.asarray(x)
         unbatched = x.ndim == 2
         if unbatched:
@@ -175,7 +194,10 @@ class BreverBaseModel:
         elif x.ndim != 3:
             raise ValueError(
                 f'input must be 2 or 3 dimensional, got {x.ndim}')
-        out = self._enhance(variables, x)
+        fn = self.__dict__.get('_enhance_jit')
+        if fn is None:
+            fn = self.__dict__['_enhance_jit'] = jax.jit(self._enhance)
+        out = fn(variables, x) if rng is None else fn(variables, x, rng)
         return out[0] if unbatched else out
 
     # ------------------------------------------------------------------

@@ -301,8 +301,9 @@ class ConvTasNet(BreverBaseModel):
         return self.filter_length
 
     def init_variables(self, rng):
-        x = jnp.zeros((1, 512), jnp.float32)
-        return self.module.init(rng, x)
+        def init(rng):
+            return self.module.init(rng, jnp.zeros((1, 512), jnp.float32))
+        return self._jit_init(init, rng)
 
     def optimizer(self):
         import optax

@@ -247,9 +247,10 @@ class DCCRN(BreverBaseModel):
         return self.stft.frame_length + enc_dec * self.stft.hop_length
 
     def init_variables(self, rng):
-        x = jnp.zeros((1, 4096), jnp.float32)
-        spec = self._to_input(x)
-        return self.module.init(rng, spec, train=False)
+        def init(rng):
+            x = jnp.zeros((1, 4096), jnp.float32)
+            return self.module.init(rng, self._to_input(x), train=False)
+        return self._jit_init(init, rng)
 
     def optimizer(self):
         import optax

@@ -94,14 +94,17 @@ class FFNN(BreverBaseModel):
     # ------------------------------------------------------------------
 
     def init_variables(self, rng):
-        x = jnp.zeros((1, self.input_size, 8), jnp.float32)
-        variables = self.module.init(rng, x)
-        params = variables['params']
-        stats = {
-            'mean': jnp.zeros((self.input_size, 1)),
-            'std': jnp.ones((self.input_size, 1)),
-        }
-        return {'params': params, 'stats': stats}
+        def init(rng):
+            x = jnp.zeros((1, self.input_size, 8), jnp.float32)
+            variables = self.module.init(rng, x)
+            return {
+                'params': variables['params'],
+                'stats': {
+                    'mean': jnp.zeros((self.input_size, 1)),
+                    'std': jnp.ones((self.input_size, 1)),
+                },
+            }
+        return self._jit_init(init, rng)
 
     def optimizer(self):
         import optax

@@ -586,11 +586,12 @@ class MANNER(BreverBaseModel):
         self._schedule = None
 
     def init_variables(self, rng):
-        x = jnp.zeros((1, 1, 1024), jnp.float32)
-        variables = self.module.init(rng, x, train=False)
-        variables = dict(variables)
-        variables['params'] = self._rescale(variables['params'])
-        return variables
+        def init(rng):
+            x = jnp.zeros((1, 1, 1024), jnp.float32)
+            variables = dict(self.module.init(rng, x, train=False))
+            variables['params'] = self._rescale(variables['params'])
+            return variables
+        return self._jit_init(init, rng)
 
     @staticmethod
     def _rescale(params, reference=0.1):

@@ -226,18 +226,21 @@ class MetricGANOKD(BreverBaseModel):
     # ------------------------------------------------------------------
 
     def init_variables(self, rng):
-        rngs = jax.random.split(rng, self.n_generators + 1)
-        n_freqs = self.stft.n_fft // 2 + 1
-        mag = jnp.zeros((1, n_freqs, 16), jnp.float32)
-        params, aux = {}, {}
-        for i, (gen, gen_rng) in enumerate(zip(self.generators, rngs[:-1])):
-            variables = gen.init(gen_rng, mag)
-            params[f'generator_{i}'] = variables['params']
-        d_vars = self.discriminator.init(rngs[-1], mag, mag)
-        params['discriminator'] = d_vars['params']
-        aux['batch_stats'] = {
-            'discriminator': dict(d_vars.get('batch_stats', {}))}
-        return {'params': params, 'batch_stats': aux['batch_stats']}
+        def init(rng):
+            rngs = jax.random.split(rng, self.n_generators + 1)
+            n_freqs = self.stft.n_fft // 2 + 1
+            mag = jnp.zeros((1, n_freqs, 16), jnp.float32)
+            params, aux = {}, {}
+            for i, (gen, gen_rng) in enumerate(
+                    zip(self.generators, rngs[:-1])):
+                variables = gen.init(gen_rng, mag)
+                params[f'generator_{i}'] = variables['params']
+            d_vars = self.discriminator.init(rngs[-1], mag, mag)
+            params['discriminator'] = d_vars['params']
+            aux['batch_stats'] = {
+                'discriminator': dict(d_vars.get('batch_stats', {}))}
+            return {'params': params, 'batch_stats': aux['batch_stats']}
+        return self._jit_init(init, rng)
 
     def optimizer(self):
         gen_tx = getattr(optax, self.generator_optimizer)(

@@ -158,12 +158,14 @@ class SGMSEp(BreverBaseModel):
     # ------------------------------------------------------------------
 
     def init_variables(self, rng):
-        n_freqs = self.stft.frame_length // 2
-        # frames multiple of 2**(num_res-1) not required: the resampler
-        # padding stack restores odd sizes
-        x = jnp.zeros((1, n_freqs, 64, 4), jnp.float32)
-        cnoise = jnp.zeros((1,), jnp.float32)
-        return self.module.init(rng, x, cnoise)
+        def init(rng):
+            n_freqs = self.stft.frame_length // 2
+            # frames multiple of 2**(num_res-1) not required: the
+            # resampler padding stack restores odd sizes
+            x = jnp.zeros((1, n_freqs, 64, 4), jnp.float32)
+            cnoise = jnp.zeros((1,), jnp.float32)
+            return self.module.init(rng, x, cnoise)
+        return self._jit_init(init, rng)
 
     def optimizer(self):
         import optax

@@ -315,9 +315,10 @@ class TFGridNet(BreverBaseModel):
             init_lr=learning_rate, factor=0.5, patience=3)
 
     def init_variables(self, rng):
-        x = jnp.zeros((1, 2, 2048), jnp.float32)
-        spec = self._to_input(x)
-        return self.module.init(rng, spec)
+        def init(rng):
+            x = jnp.zeros((1, 2, 2048), jnp.float32)
+            return self.module.init(rng, self._to_input(x))
+        return self._jit_init(init, rng)
 
     def optimizer(self):
         import optax

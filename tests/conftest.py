@@ -16,11 +16,6 @@ if 'xla_force_host_platform_device_count' not in flags:
         flags + ' --xla_force_host_platform_device_count=8'
     ).strip()
 os.environ.setdefault('JAX_ENABLE_X64', 'false')
-# Persistent compile cache: XLA-CPU compiles are slow on this machine
-# (~15 s for a fresh op graph); cache them across test runs.
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jax_cache')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
-os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
 
 # The environment's sitecustomize may register a remote TPU PJRT plugin
 # and pin jax_platforms through the config (which wins over the env
@@ -28,3 +23,12 @@ os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# Persistent compile cache: XLA-CPU compiles are slow on this machine
+# (~15 s for a fresh op graph); cache them across test runs. NOTE: on
+# this jax version the JAX_COMPILATION_CACHE_DIR env var is silently
+# ignored — the config update below is the only wiring that works.
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+# Cache EVERY compile: the default 1 s threshold silently skips the
+# hundreds of ~0.1 s executables a suite run produces.
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
