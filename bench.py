@@ -23,6 +23,13 @@ bench the other architectures AFTER the headline is out (their results
 land in benchmarks/bench_detail.json; a timeout then cannot cost the
 headline). A full-sweep snapshot is kept in
 benchmarks/bench_detail_full.json.
+
+If the tunneled TPU backend is unreachable (it can wedge for hours —
+round 3 observed `jax.devices()` blocking indefinitely), the script
+falls back to a small, honestly-labeled CPU benchmark instead of
+producing nothing: metric says "CPU FALLBACK", and vs_baseline becomes
+the audio-throughput ratio against the reference torch implementation
+on the same host CPU (benchmarks/baseline_torch_cpu.json).
 """
 
 import json
@@ -30,40 +37,66 @@ import os
 import sys
 
 
-def _require_live_backend(deadline_s=180):
-    """Fail fast (rc 3) when the tunneled TPU backend is unreachable.
+def _backend_alive(deadline_s=150):
+    """Probe the tunneled TPU backend WITHOUT touching it from this
+    process.
 
-    A wedged tunnel makes ``jax.devices()`` block forever; without this
-    guard the whole driver budget is burned producing an unexplained
-    rc=124 (observed round 3: the tunnel can stay wedged for hours
-    after a client is killed mid-compile)."""
-    import threading
-    ok = threading.Event()
+    A wedged tunnel makes ``jax.devices()`` block forever — and once a
+    process has started that init it cannot abandon it (the backend
+    lock is held). Probing in a throwaway subprocess keeps this
+    process clean so it can still fall back to the CPU backend
+    (observed round 3: the tunnel can stay wedged for hours after a
+    client is killed mid-compile)."""
+    import subprocess
+    code = ('import jax; d = jax.devices(); '
+            'import sys; sys.exit(0 if d and d[0].platform != "cpu" '
+            'else 1)')
+    try:
+        proc = subprocess.run(
+            [sys.executable, '-c', code], timeout=deadline_s,
+            capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
-    def probe():
-        import jax
-        jax.devices()
-        ok.set()
 
-    threading.Thread(target=probe, daemon=True).start()
-    if not ok.wait(deadline_s):
-        print(f'FATAL: jax backend init did not complete in '
-              f'{deadline_s}s — TPU tunnel unreachable; no benchmark '
-              f'number can be produced', file=sys.stderr, flush=True)
-        os._exit(3)
+def _pin_cpu_backend():
+    """Force the CPU backend before any jax computation and enable the
+    persistent compile cache (it behaves on CPU; see the TPU note in
+    ``main``)."""
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
-    _require_live_backend()
     # NOTE: the persistent XLA compile cache is deliberately NOT
-    # enabled here. On the tunneled single-chip backend a cache hit
-    # must push the ~100 MB serialized executable through the slow
+    # enabled for TPU runs. On the tunneled single-chip backend a cache
+    # hit must push the ~100 MB serialized executable through the slow
     # control channel (measured: >10 min, vs ~220 s to just recompile
     # — the HLO going the other way is tiny and compilation happens
-    # backend-side). Tests enable it on CPU where it behaves
-    # (tests/conftest.py).
+    # backend-side). The CPU fallback below does enable it.
+    cpu_fallback = bool(os.environ.get('BENCH_FORCE_CPU'))
+    if not cpu_fallback and not _backend_alive():
+        print('# TPU tunnel unreachable (wedged backend init) — '
+              'falling back to an honestly-labeled CPU benchmark so '
+              'the driver still gets a number', file=sys.stderr,
+              flush=True)
+        cpu_fallback = True
+    if cpu_fallback:
+        # tiny workload: the full batch-16 x 4 s step takes minutes on
+        # this 1-core host (the torch reference needs 226 s; even
+        # batch 1 x 4 s measured ~280 s/step). The TCN is linear in T,
+        # so audio-throughput stays comparable at 1 s.
+        os.environ.setdefault('BENCH_BATCH', '1')
+        os.environ.setdefault('BENCH_SECONDS', '1')
+        os.environ.setdefault('BENCH_STEPS', '1')
+        os.environ.setdefault('BENCH_BF16', '0')
+        _pin_cpu_backend()
     from benchmarks.bench_models import DEFAULT_ARCHS, bench_all
 
     if os.environ.get('BENCH_ARCHS'):
@@ -84,14 +117,34 @@ def main():
             else next(iter(results))
         head = results[head_arch]
         device = head['device']
+        if cpu_fallback:
+            # same-host, same-workload-family comparison: audio
+            # throughput vs the reference architecture under torch on
+            # this CPU (benchmarks/baseline_torch_cpu.json)
+            with open(os.path.join(
+                    here, 'benchmarks', 'baseline_torch_cpu.json')) as f:
+                base = json.load(f)
+            torch_audio_per_sec = base['steps_per_sec'] * 16 * 4
+            vs_baseline = round(
+                head['audio_sec_per_sec'] / torch_audio_per_sec, 2)
+            metric = (
+                f"{head_arch}_train_steps_per_sec CPU FALLBACK — TPU "
+                f"tunnel was unreachable (batch {head['batch']} x "
+                f"{head['seconds_per_item']}s @ 16kHz, f32, {device}; "
+                'vs_baseline = audio-throughput ratio vs the reference '
+                'torch-CPU implementation on this host)')
+        else:
+            vs_baseline = head['mfu']
+            metric = (
+                f"{head_arch}_train_steps_per_sec (batch "
+                f"{head['batch']} x {head['seconds_per_item']}s "
+                f"@ 16kHz, bf16, {device}; vs_baseline = MFU vs "
+                'dense-bf16 peak)')
         print(json.dumps({
-            'metric': f"{head_arch}_train_steps_per_sec (batch "
-                      f"{head['batch']} x {head['seconds_per_item']}s "
-                      f"@ 16kHz, bf16, {device}; vs_baseline = MFU vs "
-                      'dense-bf16 peak)',
+            'metric': metric,
             'value': head['steps_per_sec'],
             'unit': 'steps/s',
-            'vs_baseline': head['mfu'],
+            'vs_baseline': vs_baseline,
             'archs': {
                 a: {k: r[k] for k in (
                     'batch', 'ms_per_step', 'steps_per_sec',

@@ -23,7 +23,13 @@ import optax  # noqa: E402
 from brever_tpu.models import ModelRegistry  # noqa: E402
 from brever_tpu.models.base import sample_weighted_mean  # noqa: E402
 
-BATCH, SECONDS, FS = 16, 4, 16000
+# BENCH_BATCH/BENCH_SECONDS/BENCH_STEPS/BENCH_BF16 exist for bench.py's
+# CPU fallback (tiny workload when the TPU tunnel is unreachable)
+BATCH = int(os.environ.get('BENCH_BATCH', '16'))
+SECONDS = int(os.environ.get('BENCH_SECONDS', '4'))
+FS = 16000
+N_STEPS = int(os.environ.get('BENCH_STEPS', '10'))
+USE_BF16 = os.environ.get('BENCH_BF16', '1') != '0'
 
 # memory-bound architectures run at a smaller batch on one 16 GB v5e
 # (the reference's dynamic batching would produce small batches for
@@ -86,7 +92,7 @@ def _progress(msg):
           flush=True)
 
 
-def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
+def bench_arch(arch, n_steps=N_STEPS, use_bf16=USE_BF16, arch_kwargs=None):
     """Returns a result dict, or None for unsupported (multi-optimizer)
     architectures."""
     _progress(f'{arch}: init')
@@ -226,7 +232,7 @@ def bench_arch(arch, n_steps=10, use_bf16=True, arch_kwargs=None):
     return result
 
 
-def bench_gan(arch, model, variables, tx, n_steps=10):
+def bench_gan(arch, model, variables, tx, n_steps=N_STEPS):
     """Device-side GAN step benchmark (metricganokd/metricganp).
 
     Times candidate synthesis + the generator/discriminator updates as

@@ -33,4 +33,13 @@ run dccrn python benchmarks/bench_models.py dccrn
 run manner python benchmarks/bench_models.py manner
 run metricganokd python benchmarks/bench_models.py metricganokd
 run ffnn python benchmarks/bench_models.py ffnn
+# flash-TCN time-tile sweep: larger tiles = fewer chunk-loop
+# boundaries per VMEM pass (VERDICT r2 #3: close convtasnet toward its
+# 20-25 ms matmul floor)
+run convtasnet_tile2048 env BREVER_TCN_TILE=2048 \
+    python benchmarks/bench_models.py convtasnet
+run convtasnet_tile4096 env BREVER_TCN_TILE=4096 \
+    python benchmarks/bench_models.py convtasnet
+run convtasnet_tile512 env BREVER_TCN_TILE=512 \
+    python benchmarks/bench_models.py convtasnet
 echo "ALL DONE $(date -u)" >> "$LOG"

@@ -164,3 +164,49 @@ class ComplexBatchNorm(nn.Module):
         out_i = white_r * weight[1].reshape(shape) \
             + white_i * weight[2].reshape(shape) + bias[1].reshape(shape)
         return jnp.concatenate([out_r, out_i], axis=-1).astype(in_dtype)
+
+
+class DepthwiseConv1D(nn.Module):
+    """Depthwise 1-D convolution as shifted multiplies (channels-last).
+
+    Drop-in replacement for ``nn.Conv(features=C, kernel_size=(k,),
+    feature_group_count=C)`` with a bit-identical parameter tree
+    (``kernel`` of shape ``(k, 1, C)`` with the same lecun-normal fan,
+    ``bias`` of shape ``(C,)``), but computed as ``k`` shifted
+    elementwise multiply-adds instead of a grouped convolution:
+
+    * XLA-CPU's grouped-convolution *backward* is scalarized and
+      pathologically slow (measured: a single Conv-TasNet TCN backward
+      = 60+ s of a 65 s train step on one core, >40x the forward);
+      the shifted form differentiates into the same shifted form.
+    * On TPU both forms are VPU elementwise work; the shifted form
+      needs no im2col rewrite and fuses with neighbors.
+    """
+
+    features: int
+    kernel_size: int
+    kernel_dilation: int = 1
+    #: explicit (lo, hi) time padding (stride is fixed at 1)
+    padding: tuple = (0, 0)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (batch, time, channels)
+        k, d = self.kernel_size, self.kernel_dilation
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (k, 1, self.features), jnp.float32)
+        lo, hi = self.padding
+        pad = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
+        t_out = x.shape[1] + lo + hi - (k - 1) * d
+        w = kernel.astype(x.dtype)
+        out = pad[:, :t_out, :] * w[0]
+        for i in range(1, k):
+            out = out + pad[:, i * d:i * d + t_out, :] * w[i]
+        if self.use_bias:
+            bias = self.param(
+                'bias', nn.initializers.zeros_init(),
+                (self.features,), jnp.float32)
+            out = out + bias.astype(out.dtype)
+        return out

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..ops.pallas.tcn_block import (MAX_FUSED_T, pallas_tcn_available,
                                     tcn_block_fused)
 from .base import BreverBaseModel, ModelRegistry
-from .common import PReLU, make_norm
+from .common import DepthwiseConv1D, PReLU, make_norm
 
 
 class _ConvBlock(nn.Module):
@@ -46,12 +46,13 @@ class _ConvBlock(nn.Module):
             pad = (padding, 0)
         else:
             pad = (padding // 2, padding - padding // 2)
-        depthwise = nn.Conv(
+        # shifted-multiply depthwise (same param tree as the grouped
+        # nn.Conv it replaces; see DepthwiseConv1D for why)
+        depthwise = DepthwiseConv1D(
             features=self.hidden_channels,
-            kernel_size=(self.kernel_size,),
-            kernel_dilation=(self.dilation,),
-            feature_group_count=self.hidden_channels,
-            padding=(pad,),
+            kernel_size=self.kernel_size,
+            kernel_dilation=self.dilation,
+            padding=pad,
             name='depthwise',
         )
         prelu_2 = PReLU(name='prelu_2')

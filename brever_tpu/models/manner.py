@@ -30,7 +30,7 @@ import numpy as np
 from ..ops import STFT
 from ..ops.stft import frame_signal, overlap_add
 from .base import BreverBaseModel, ModelRegistry
-from .common import batch_norm
+from .common import DepthwiseConv1D, batch_norm
 
 
 # ---------------------------------------------------------------------------
@@ -272,10 +272,13 @@ class _ResConBlock(nn.Module):
             a, b = jnp.split(h, 2, axis=-1)
             h = a * jax.nn.sigmoid(b)  # GLU over channels
             pad = (self.kernel - 1) // 2
-            h = nn.Conv(self.in_channels, (self.kernel,),
-                        feature_group_count=self.in_channels,
-                        padding=((pad, pad),), use_bias=False,
-                        name='depthwise')(h)
+            # shifted-multiply depthwise (same param tree as the
+            # grouped nn.Conv; XLA-CPU scalarizes grouped-conv
+            # backwards — see common.DepthwiseConv1D)
+            h = DepthwiseConv1D(
+                features=self.in_channels, kernel_size=self.kernel,
+                padding=(pad, pad), use_bias=False,
+                name='depthwise')(h)
         h = bn(h, train, 'dw_bn')
         h = h * jax.nn.sigmoid(h)  # swish
         if self.pack:
@@ -364,9 +367,9 @@ class _LocalAttention(nn.Module):
         pad = (31 - 1) // 2
         h = jnp.swapaxes(h, 1, 2)  # (B*P, C, chunk)... conv over chunk
         h = jnp.swapaxes(h, 1, 2)
-        h = nn.Conv(ch, (31,), feature_group_count=ch,
-                    padding=((pad, pad),), use_bias=False,
-                    name='depthwise')(h)
+        h = DepthwiseConv1D(features=ch, kernel_size=31,
+                            padding=(pad, pad), use_bias=False,
+                            name='depthwise')(h)
         h = batch_norm(h, train, 'dw_bn')
         h = h * jax.nn.sigmoid(h)
         # stats over channels -> (B*P, chunk, 2)

@@ -145,6 +145,21 @@ class BreverTrainer:
         self.mesh = get_mesh(devices)
         self.n_devices = len(devices)
 
+        # persistent compile cache for CPU runs (XLA-CPU compiles are
+        # slow; repeated small-scale runs share executables). NOT
+        # enabled on TPU: pulling a serialized executable back through
+        # the tunnel is slower than a backend-side recompile. The env
+        # var JAX_COMPILATION_CACHE_DIR is ignored by this jax version;
+        # only the config setting works.
+        if (devices[0].platform == 'cpu'
+                and not jax.config.jax_compilation_cache_dir):
+            import tempfile
+            jax.config.update(
+                'jax_compilation_cache_dir',
+                os.path.join(tempfile.gettempdir(), 'jax_cache'))
+            jax.config.update(
+                'jax_persistent_cache_min_compile_time_secs', 0.0)
+
         self.checkpoints_dir = os.path.join(model_dirpath, 'checkpoints')
         self.last_ckpt_path = os.path.join(self.checkpoints_dir, 'last.ckpt')
         self.epochs_ran = 0
