@@ -32,6 +32,7 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .data import BreverDataLoader, BreverDataset
 from .inspect import NoParse, Parse
 from .metrics import MetricRegistry
+from .metrics_device import DEVICE_METRICS
 from .models import count_params
 from .models.base import BreverBaseModel, sample_weighted_mean
 from .parallel.mesh import get_mesh, shard_batch
@@ -96,6 +97,7 @@ class BreverTrainer:
         profile: bool = False,
         val_metrics: set[str] = {'pesq', 'estoi', 'snr'},
         val_period: int = 10,
+        device_val_metrics: bool = True,
         use_amp: bool = False,
         compile: bool = True,
         save_on_epochs: list[int] = [],
@@ -132,6 +134,11 @@ class BreverTrainer:
                 check()
         self.val_metrics = val_metrics
         self.val_period = val_period
+        #: score validation metrics with their on-device jax twins
+        #: (metrics_device.DEVICE_METRICS) where available; metrics
+        #: without a twin (and all test-set scoring) use the host
+        #: implementations
+        self.device_val_metrics = device_val_metrics
         self.save_on_epochs = save_on_epochs
         self.seed = seed
         self.use_amp = use_amp
@@ -529,16 +536,30 @@ class BreverTrainer:
         if enhanced.ndim == 3:  # separation models: first source
             enhanced = enhanced[:, 0]
 
-        enhanced = _local_rows(enhanced)[:n_real]
-        targets = _local_rows(targets)[:n_real]
-        lengths_host = _local_rows(lengths)[:n_real]
-        if lengths_host.ndim > 1:
-            lengths_host = lengths_host[:, 0]
+        lengths_1d = lengths[:, 0] if lengths.ndim > 1 else lengths
         out = {}
+        enhanced_host = targets_host = lengths_host = None
         for name in sorted(self.val_metrics):
+            # device twin when available: scoring stays on the device
+            # and only per-item scalars cross to the host (d2h on
+            # tunneled TPU backends is ~0.08 MB/s — fetching the
+            # enhanced audio dominates validation otherwise)
+            device_fn = self.device_val_metrics \
+                and DEVICE_METRICS.get(name)
+            if device_fn:
+                values = _local_rows(
+                    device_fn(enhanced, targets, lengths=lengths_1d)
+                )[:n_real]
+                out[name] = float(np.mean(np.asarray(values)))
+                continue
+            if enhanced_host is None:
+                enhanced_host = _local_rows(enhanced)[:n_real]
+                targets_host = _local_rows(targets)[:n_real]
+                lengths_host = _local_rows(lengths_1d)[:n_real]
             metric = MetricRegistry.get(name)
             try:
-                values = metric(enhanced, targets, lengths=lengths_host)
+                values = metric(enhanced_host, targets_host,
+                                lengths=lengths_host)
             except RuntimeError as e:
                 logging.warning(f'skipping metric {name}: {e}')
                 continue
