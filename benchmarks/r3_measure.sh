@@ -42,4 +42,7 @@ run convtasnet_tile4096 env BREVER_TCN_TILE=4096 \
     python benchmarks/bench_models.py convtasnet
 run convtasnet_tile512 env BREVER_TCN_TILE=512 \
     python benchmarks/bench_models.py convtasnet
+# on-device metric twins vs host scoring (incl. the d2h fetch cost the
+# host path pays on the tunnel)
+run metrics_device python benchmarks/bench_metrics.py 16 4
 echo "ALL DONE $(date -u)" >> "$LOG"

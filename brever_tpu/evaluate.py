@@ -79,18 +79,34 @@ def merge_scores(scores):
 
 
 def evaluate_dataset(model, variables, dataloader, metrics, n_items,
-                     mesh=None, on_batch=None):
+                     mesh=None, on_batch=None, device_metrics=False):
     """Score ``n_items`` mixtures with every metric in ``metrics``.
 
     Returns ``(n_items, len(metrics), 2)`` — input and output scores —
     identical on every process after the merge. ``on_batch`` (optional)
     receives ``(global_indices, inputs_mono, output)`` for each locally
     scored batch (signal dumping hooks).
+
+    ``device_metrics=True`` scores with the on-device jax twins
+    (:mod:`brever_tpu.metrics_device`) where available, so enhanced
+    audio never crosses to the host (the d2h fetch dominates evaluation
+    on tunneled backends). Host metrics — the scoring authority, with
+    PESQ's full utterance alignment — stay the default; metrics without
+    a device twin fall back to host either way.
     """
     enhance, mesh = make_sharded_enhance(model, mesh)
     n_dev = int(mesh.devices.size)
     rank, n_proc = jax.process_index(), jax.process_count()
-    metric_fns = [MetricRegistry.get(m) for m in metrics]
+    twins = {}
+    if device_metrics:
+        from .metrics_device import DEVICE_METRICS
+        twins = DEVICE_METRICS
+    metric_fns = [
+        (twins.get(m) or MetricRegistry.get(m), m in twins)
+        for m in metrics
+    ]
+    need_host_out = on_batch is not None \
+        or any(not on_device for _, on_device in metric_fns)
 
     scores = np.zeros((n_items, len(metrics), 2))
     i_mix = 0
@@ -105,15 +121,17 @@ def evaluate_dataset(model, variables, dataloader, metrics, n_items,
         inputs = batch[:, 0]                       # (B, ch, samples)
         target_mono = batch[:, 1].mean(-2)
         inputs_mono = inputs.mean(-2)
-        out = enhance(variables, _pad_rows(inputs, n_dev))
-        out = np.asarray(out)[:n]
-        if out.ndim == 3:
-            out = out[:, 0]
-        for i_metric, fn in enumerate(metric_fns):
+        out_dev = enhance(variables, _pad_rows(inputs, n_dev))
+        if out_dev.ndim == 3:
+            out_dev = out_dev[:, 0]
+        out = np.asarray(out_dev)[:n] if need_host_out else None
+        for i_metric, (fn, on_device) in enumerate(metric_fns):
+            est = out_dev if on_device else out
+            est_n = est[:n] if on_device else est
             scores[start:start + n, i_metric, 0] = np.asarray(
                 fn(inputs_mono, target_mono, lengths=lengths))
             scores[start:start + n, i_metric, 1] = np.asarray(
-                fn(out, target_mono, lengths=lengths))
+                fn(est_n, target_mono, lengths=lengths))
         if on_batch is not None:
             on_batch(np.arange(start, start + n), inputs_mono, out,
                      lengths)

@@ -105,7 +105,8 @@ def test_model(args, model, variables, cfg, test_path, score_file,
     # forward sharded over local devices, scores allgather-merged
     # (reference DDP eval, scripts/test_model.py:66-70,215-238)
     scores = evaluate_dataset(model, variables, dataloader, metrics,
-                              len(dataset), on_batch=on_batch)
+                              len(dataset), on_batch=on_batch,
+                              device_metrics=args.device_metrics)
     if jax.process_index() != 0:
         return
 
@@ -146,6 +147,11 @@ def main():
                         help='metric for best-checkpoint selection')
     parser.add_argument('--batch_size', type=float, default=20)
     parser.add_argument('--workers', type=int, default=0)
+    parser.add_argument('--device_metrics', action='store_true',
+                        help='score with the on-device jax metric '
+                        'twins (brever_tpu.metrics_device) instead of '
+                        'the host implementations; avoids fetching '
+                        'enhanced audio to the host')
     args = parser.parse_args()
 
     # all default metrics are built in (PESQ/STOI are from-scratch

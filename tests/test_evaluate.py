@@ -116,3 +116,17 @@ def test_on_batch_receives_global_indices():
                      batches, ['snr'], n_items=8, on_batch=on_batch)
     all_idx = np.concatenate([i for i, _ in seen])
     np.testing.assert_array_equal(np.sort(all_idx), np.arange(8))
+
+
+def test_evaluate_dataset_device_metrics_matches_host():
+    """device_metrics=True must reproduce the host-scored result (the
+    snr/sisnr twins are the same jnp criterion; stoi twins are pinned
+    separately in test_metrics_device.py)."""
+    batches = make_batches(seed=3, sizes=(5, 3))
+    metrics = ['snr', 'sisnr']
+    host = evaluate_dataset(FakeModel(), {'gain': jnp.float32(1.5)},
+                            batches, metrics, n_items=8)
+    dev = evaluate_dataset(FakeModel(), {'gain': jnp.float32(1.5)},
+                           batches, metrics, n_items=8,
+                           device_metrics=True)
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
