@@ -107,6 +107,35 @@ class _Discriminator(nn.Module):
         return x
 
 
+def _device_metrics(metric_names, fs):
+    """Device scorer twin of :func:`_host_metrics`: (deg, ref, lengths)
+    -> (B, n_metrics) in [0, 1], traceable inside the GAN step."""
+    import jax.numpy as jnp
+
+    def score(deg, ref, lengths):
+        from ..metrics_device import DEVICE_METRICS
+        lengths = jnp.maximum(jnp.asarray(lengths), 1)
+        cols = []
+        for name in metric_names:
+            fn = DEVICE_METRICS[name]
+            if name in ('pesq', 'pesq_approx'):
+                v = fn(deg, ref, lengths=lengths, fs=fs)
+                # same normalization as the host path (published wb
+                # hard bounds, reference brever/metrics.py:71-93)
+                lo, hi = 1.0, 4.643888749336258
+                v = (v - lo) / (hi - lo)
+            elif name in ('snr', 'sisnr'):
+                v = fn(deg, ref, lengths=lengths)
+            else:
+                v = fn(deg, ref, lengths=lengths, fs=fs)
+            cols.append(v)
+        out = jnp.stack(cols, axis=1)
+        return jnp.clip(jnp.nan_to_num(out), 0.0, 1.0) \
+            .astype(jnp.float32)
+
+    return score
+
+
 def _host_metrics(metric_names, fs):
     """Host scorer: (deg, ref, lengths) -> (B, n_metrics) in [0, 1]."""
     from ..metrics import MetricRegistry
@@ -170,6 +199,7 @@ class MetricGANOKD(BreverBaseModel):
         kd_weight: float = 10.0,
         grad_clip: float = 5.0,
         fs: int = 16000,
+        device_metric_scoring: bool = False,
     ):
         super().__init__()
         if inference_metric not in target_metrics:
@@ -218,6 +248,16 @@ class MetricGANOKD(BreverBaseModel):
         self.grad_clip = grad_clip
         self.fs = fs
         self._score = _host_metrics(self.target_metrics, fs)
+        #: score the metric-in-the-loop on device (jax metric twins,
+        #: brever_tpu.metrics_device): the whole GAN step — candidate
+        #: synthesis, PESQ/STOI regression targets, both optimizer
+        #: updates — becomes ONE jitted graph with no host round trip.
+        #: The reference architecture cannot do this (host C-extension
+        #: metrics between torch phases). Off by default: the device
+        #: twins are f32 and PESQ aligns with the global delay only
+        #: (exact for the time-aligned candidates scored here, but
+        #: golden pins were recorded against host scoring).
+        self.device_metric_scoring = device_metric_scoring
         self.precompute_metric = precompute_metric
         # precompute_stft accepted for API parity; see module docstring
         del precompute_stft
@@ -331,6 +371,42 @@ class MetricGANOKD(BreverBaseModel):
     def make_step_fns(self, tx):
         make_candidates, device_train_step, device_val_step = \
             self.device_step_fns(tx)
+
+        if self.device_metric_scoring:
+            # fully device-resident GAN step: candidates + metric
+            # regression targets + both updates in one jitted graph
+            dev_score = _device_metrics(self.target_metrics, self.fs)
+
+            def device_scores(state, batch, lengths):
+                noisy_wav, clean_wav, enh_wavs, aug_wav = \
+                    make_candidates(state, batch, lengths)
+                l1 = lengths[:, 0] if lengths.ndim > 1 else lengths
+                if isinstance(batch, (tuple, list)):
+                    noisy_score = jnp.asarray(batch[1], jnp.float32)
+                else:
+                    noisy_score = dev_score(noisy_wav, clean_wav, l1)
+                scores = {
+                    'noisy': noisy_score,
+                    'enh': jnp.stack([
+                        dev_score(enh_wavs[k], clean_wav, l1)
+                        for k in range(self.n_generators)
+                    ]),
+                }
+                if self.augment:
+                    scores['aug'] = dev_score(aug_wav, clean_wav, l1)
+                return scores, aug_wav
+
+            def full_train(state, batch, lengths, _):
+                scores, aug_wav = device_scores(state, batch, lengths)
+                return device_train_step(
+                    state, batch, lengths, scores, aug_wav)
+
+            def full_val(state, batch, lengths, _):
+                scores, aug_wav = device_scores(state, batch, lengths)
+                return device_val_step(
+                    state, batch, lengths, scores, aug_wav)
+
+            return jax.jit(full_train), jax.jit(full_val)
 
         jit_candidates = jax.jit(make_candidates)
         jit_train = jax.jit(device_train_step)

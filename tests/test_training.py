@@ -417,6 +417,33 @@ def test_metricgan_trains(tmp_path):
     assert all(np.isfinite(v) for v in losses[0].values())
 
 
+def test_metricgan_device_metric_scoring(tmp_path):
+    """device_metric_scoring=True: the whole GAN step (candidates,
+    STOI regression targets, both updates) is one jitted graph — the
+    host scorer must never be called during training."""
+    model = ModelRegistry.get('metricganokd')(
+        target_metrics=['stoi'], inference_metric='stoi',
+        generator_lstm_hidden_size=16, generator_fc_channels=[16],
+        discriminator_conv_channels=[4, 8],
+        discriminator_fc_channels=[8],
+        device_metric_scoring=True, precompute_metric=False)
+
+    def forbidden(*a, **k):
+        raise AssertionError('host scorer called with device scoring on')
+
+    model._score = forbidden
+    trainer = make_trainer(
+        tmp_path, model, epochs=1,
+        train_dataset=DummyDataset(n_items=2, min_length=0.9,
+                                   max_length=1.0),
+        val_dataset=DummyDataset(n_items=1, min_length=0.9,
+                                 max_length=1.0, seed=7))
+    trainer.run()
+    losses = trainer.loss_logger.train_loss
+    assert set(losses[0]) == {'loss_g', 'loss_d'}
+    assert all(np.isfinite(v) for v in losses[0].values())
+
+
 @pytest.mark.slow
 def test_metricgan_precompute_metric(tmp_path):
     """With precompute_metric, the loader scores noisy-vs-clean once
