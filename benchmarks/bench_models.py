@@ -262,10 +262,29 @@ def bench_gan(arch, model, variables, tx, n_steps=N_STEPS):
     }
     make_candidates, device_train_step, _ = model.device_step_fns(tx)
 
+    # BENCH_GAN_DEVICE_SCORING=1: score the metric-in-the-loop with the
+    # jax twins inside the step (the fully device-resident GAN step)
+    # instead of feeding synthetic scores
+    device_scoring = bool(os.environ.get('BENCH_GAN_DEVICE_SCORING'))
+    if device_scoring:
+        from brever_tpu.models.metricgan import _device_metrics
+        dev_score = _device_metrics(model.target_metrics, model.fs)
+
     def step(state, _):
-        _, _, _, aug_wav = make_candidates(state, batch, lengths)
+        noisy_wav, clean_wav, enh_wavs, aug_wav = make_candidates(
+            state, batch, lengths)
+        s = scores
+        if device_scoring:
+            s = {
+                'noisy': dev_score(noisy_wav, clean_wav, lengths),
+                'enh': jnp.stack([
+                    dev_score(enh_wavs[k], clean_wav, lengths)
+                    for k in range(n_gen)
+                ]),
+                'aug': dev_score(aug_wav, clean_wav, lengths),
+            }
         state, loss = device_train_step(
-            state, batch, lengths, scores, aug_wav)
+            state, batch, lengths, s, aug_wav)
         return state, loss['loss_d']
 
     def run(state):

@@ -45,4 +45,7 @@ run convtasnet_tile512 env BREVER_TCN_TILE=512 \
 # on-device metric twins vs host scoring (incl. the d2h fetch cost the
 # host path pays on the tunnel)
 run metrics_device python benchmarks/bench_metrics.py 16 4
+# fully device-resident GAN step (PESQ targets scored in-graph)
+run metricgan_device_scoring env BENCH_GAN_DEVICE_SCORING=1 \
+    python benchmarks/bench_models.py metricganokd
 echo "ALL DONE $(date -u)" >> "$LOG"

@@ -130,8 +130,12 @@ def _device_metrics(metric_names, fs):
                 v = fn(deg, ref, lengths=lengths, fs=fs)
             cols.append(v)
         out = jnp.stack(cols, axis=1)
-        return jnp.clip(jnp.nan_to_num(out), 0.0, 1.0) \
+        out = jnp.clip(jnp.nan_to_num(out), 0.0, 1.0) \
             .astype(jnp.float32)
+        # regression TARGETS: detached, like the host-computed scores
+        # (gradients must not flow into the generators through the
+        # metric graph — and the PESQ backward is enormous)
+        return jax.lax.stop_gradient(out)
 
     return score
 
