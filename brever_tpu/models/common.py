@@ -193,17 +193,30 @@ class DepthwiseConv1D(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (batch, time, channels)
+        import jax
+
         k, d = self.kernel_size, self.kernel_dilation
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             (k, 1, self.features), jnp.float32)
-        lo, hi = self.padding
-        pad = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
-        t_out = x.shape[1] + lo + hi - (k - 1) * d
         w = kernel.astype(x.dtype)
-        out = pad[:, :t_out, :] * w[0]
-        for i in range(1, k):
-            out = out + pad[:, i * d:i * d + t_out, :] * w[i]
+        if k > 8 and jax.default_backend() == 'tpu':
+            # wide kernels on TPU: keep the grouped-conv lowering (XLA
+            # TPU handles it well; k shifted reads would multiply the
+            # VPU work). The scalarized-backward pathology is
+            # CPU-specific.
+            out = jax.lax.conv_general_dilated(
+                x, w, window_strides=(1,), padding=[self.padding],
+                rhs_dilation=(d,),
+                dimension_numbers=('NWC', 'WIO', 'NWC'),
+                feature_group_count=self.features)
+        else:
+            lo, hi = self.padding
+            pad = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
+            t_out = x.shape[1] + lo + hi - (k - 1) * d
+            out = pad[:, :t_out, :] * w[0]
+            for i in range(1, k):
+                out = out + pad[:, i * d:i * d + t_out, :] * w[i]
         if self.use_bias:
             bias = self.param(
                 'bias', nn.initializers.zeros_init(),
