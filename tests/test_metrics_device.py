@@ -138,3 +138,40 @@ def test_pesq_device_nb_mode():
         for i, n in enumerate(lengths)
     ])
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_device_metrics_ragged_boundary_lengths():
+    """Masking off-by-ones live at the boundaries: minimal PESQ length
+    (0.25 s), STOI's 30-frame threshold neighborhood, hop-aligned and
+    hop-misaligned lengths — all scored in ONE padded batch (one
+    compile) and compared item-by-item against the host."""
+    from brever_tpu.metrics_device import pesq_device
+    from brever_tpu.pesq import pesq as pesq_host
+    from brever_tpu.stoi import stoi_single
+
+    rng = np.random.RandomState(7)
+    tmax = 16000
+    # 4000 = pesq minimum; 6400/6401 straddle a 10 kHz frame edge
+    # after resampling; 8192/12800 mid-range; tmax exact
+    lengths = np.array([4000, 6400, 6401, 8192, 12800, tmax])
+    b = len(lengths)
+    ref = np.zeros((b, tmax))
+    deg = np.zeros((b, tmax))
+    for i, n in enumerate(lengths):
+        c = _speechy(rng, int(n))
+        ref[i, :n] = c
+        deg[i, :n] = c + 0.2 * rng.randn(int(n))
+
+    got_stoi = np.asarray(stoi_device(deg, ref, lengths=lengths))
+    want_stoi = np.array([
+        stoi_single(deg[i, :n], ref[i, :n], 16000, False)
+        for i, n in enumerate(lengths)
+    ])
+    np.testing.assert_allclose(got_stoi, want_stoi, atol=2e-3)
+
+    got_pesq = np.asarray(pesq_device(deg, ref, lengths=lengths))
+    want_pesq = np.array([
+        pesq_host(16000, ref[i, :n], deg[i, :n], mode='wb')
+        for i, n in enumerate(lengths)
+    ])
+    np.testing.assert_allclose(got_pesq, want_pesq, atol=5e-3)
