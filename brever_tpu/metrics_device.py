@@ -436,6 +436,9 @@ def _pesq_graph(deg, ref, lengths, fs, mode, plan, tab):
     tot_deg = total_audible(pp_deg)
 
     active = (tot_ref > 1e7) & fmask                         # (B, F)
+    # host twin raises NoUtterancesError when nothing is speech-active;
+    # the batched graph marks the item NaN instead
+    silent = silent | (active.sum(axis=1) == 0)
     n_act = jnp.maximum(active.sum(axis=1), 1)
     avg_ref = jnp.sum(jnp.where(active[..., None], pp_ref, 0.0),
                       axis=1) / n_act[:, None]
