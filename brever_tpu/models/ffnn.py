@@ -21,8 +21,7 @@ import numpy as np
 
 from ..ops import STFT, FeatureExtractor, MelFilterbank
 from ..utils import eps
-from .base import (BreverBaseModel, ModelRegistry, param_dtype,
-                   sample_weighted_mean)
+from .base import BreverBaseModel, ModelRegistry, param_dtype
 
 
 class _MLP(nn.Module):

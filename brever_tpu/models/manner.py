@@ -25,7 +25,6 @@ import os
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import STFT
 from ..ops.stft import frame_signal, overlap_add

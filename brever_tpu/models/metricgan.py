@@ -27,7 +27,6 @@ the in-repo ITU-T P.862 implementation (:mod:`brever_tpu.pesq`);
 ``stoi``/``estoi`` are also available as targets.
 """
 
-import functools
 
 import flax.linen as nn
 import jax
@@ -36,7 +35,7 @@ import numpy as np
 import optax
 
 from ..ops import STFT
-from .base import BreverBaseModel, ModelRegistry, sample_weighted_mean
+from .base import BreverBaseModel, ModelRegistry
 from .common import batch_norm
 from .rnn import BLSTM
 
@@ -110,7 +109,6 @@ class _Discriminator(nn.Module):
 def _device_metrics(metric_names, fs):
     """Device scorer twin of :func:`_host_metrics`: (deg, ref, lengths)
     -> (B, n_metrics) in [0, 1], traceable inside the GAN step."""
-    import jax.numpy as jnp
 
     def score(deg, ref, lengths):
         from ..metrics_device import DEVICE_METRICS

@@ -23,7 +23,6 @@ pick a mesh, annotate, let XLA insert collectives).
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
