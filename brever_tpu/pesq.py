@@ -532,6 +532,11 @@ def _get_pool(n):
         # never nest pools inside a worker (a spawn child re-imports
         # __main__; an unguarded script would recurse here)
         return None
+    import os
+    if (os.cpu_count() or 1) < 2:
+        # a pool on a single-core host only adds worker-spawn latency
+        # (~5 s/worker: each child re-imports numpy on the same core)
+        return None
     if _POOL is not None and _POOL_SIZE >= n:
         return _POOL
     if _POOL is not None:
