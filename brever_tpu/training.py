@@ -489,8 +489,12 @@ class BreverTrainer:
     def routine(self, epoch, train=True):
         dataloader = self.train_dataloader if train else self.val_dataloader
         step = self._train_step if train else self._val_step
-        total = None
-        count = 0
+        # per-step losses stay ON DEVICE: float(loss) per step is a
+        # blocking d2h fetch that stalls the async dispatch pipeline
+        # (one full round trip per step on tunneled backends). They are
+        # stacked and fetched ONCE per epoch below.
+        loss_steps = []
+        weights = []
         # per-key totals/counts: a metric can be skipped for some
         # batches (e.g. STOI on signals shorter than 30 frames), so
         # each key averages over the batches where it was computable
@@ -501,12 +505,8 @@ class BreverTrainer:
             device_batch, device_lengths = self._to_device(batch, lengths)
             self.state, loss = step(
                 self.state, device_batch, device_lengths, None)
-            loss = jax.tree.map(float, loss)
-            if isinstance(loss, dict):
-                loss = MathDict(loss)
-            total = loss * n_real if total is None \
-                else total + loss * n_real
-            count += n_real
+            loss_steps.append(loss)
+            weights.append(n_real)
             if not train and self.val_metrics:
                 batch_metrics = self.compute_metrics(
                     device_batch, device_lengths, n_real)
@@ -514,7 +514,21 @@ class BreverTrainer:
                     metric_totals[k] = metric_totals.get(k, 0.0) \
                         + v * n_real
                     metric_counts[k] = metric_counts.get(k, 0) + n_real
-        mean_loss = total / max(count, 1) if total is not None else 0.0
+        # one device stack + one host fetch per epoch (vs one per step)
+        if not loss_steps:
+            mean_loss = 0.0
+        else:
+            w = np.asarray(weights, np.float64)
+            if isinstance(loss_steps[0], dict):
+                mean_loss = MathDict({
+                    k: float(np.average(np.asarray(
+                        jnp.stack([l[k] for l in loss_steps]),
+                        np.float64), weights=w))
+                    for k in loss_steps[0]
+                })
+            else:
+                vals = np.asarray(jnp.stack(loss_steps), np.float64)
+                mean_loss = float(np.average(vals, weights=w))
         if train:
             return mean_loss
         metrics = None
