@@ -1,0 +1,91 @@
+"""Inference benchmark: enhancement latency and real-time factor.
+
+Usage: python benchmarks/bench_inference.py [arch ...]
+
+Per architecture: jitted ``_enhance`` on batch 1 and batch 8 of 4 s
+clips (the serving shapes), reporting wall latency and RTF =
+audio-seconds enhanced per wall second. For causal Conv-TasNet the
+chunked streaming step (brever_tpu.streaming) is benched too: per-chunk
+latency at a 64 ms chunk is the number a live system cares about.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+from brever_tpu.models import ModelRegistry  # noqa: E402
+
+SECONDS, FS = 4, 16000
+DEFAULT_ARCHS = ['convtasnet', 'dccrn', 'ffnn', 'tfgridnet', 'manner',
+                 'metricganokd']
+
+
+def _time(fn, *args, n=10):
+    out = fn(*args)
+    jax.block_until_ready(out)          # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_enhance(arch, batch):
+    model = ModelRegistry.get(arch)()
+    variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
+    x = np.random.RandomState(0).randn(
+        batch, 2, SECONDS * FS).astype('float32')
+    dt = _time(lambda v, x: model.enhance(v, x), variables,
+               jax.device_put(x))
+    rtf = batch * SECONDS / dt
+    print(f'{arch}: enhance batch {batch}: {dt * 1e3:.1f} ms '
+          f'({rtf:.0f}x real time)', flush=True)
+
+
+def bench_streaming(chunk_ms=64):
+    from brever_tpu.streaming import StreamingEnhancer
+
+    model = ModelRegistry.get('convtasnet')(causal=True)
+    variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
+    chunk = int(chunk_ms * FS / 1000)
+    chunk -= chunk % (model.module.filter_length // 2)
+    enhancer = StreamingEnhancer(model, variables, chunk_samples=chunk)
+    state = enhancer.init_state(batch_size=1)
+    x = np.random.RandomState(0).randn(1, chunk).astype('float32')
+    state, out = enhancer.step(state, x)      # compile + warmup
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        state, out = enhancer.step(state, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    budget = chunk / FS
+    print(f'convtasnet-causal streaming: {chunk / FS * 1e3:.0f} ms '
+          f'chunks in {dt * 1e3:.2f} ms/step '
+          f'({budget / dt:.0f}x real time)', flush=True)
+
+
+def main():
+    archs = sys.argv[1:] or DEFAULT_ARCHS
+    print(f'# device: {jax.devices()[0].device_kind}', flush=True)
+    for arch in archs:
+        for batch in (1, 8):
+            try:
+                bench_enhance(arch, batch)
+            except Exception as e:
+                print(f'# {arch} batch {batch}: failed '
+                      f'({type(e).__name__}: {e})', file=sys.stderr,
+                      flush=True)
+    if 'convtasnet' in archs:
+        bench_streaming()
+
+
+if __name__ == '__main__':
+    main()

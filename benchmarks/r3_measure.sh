@@ -48,4 +48,6 @@ run metrics_device python benchmarks/bench_metrics.py 16 4
 # fully device-resident GAN step (PESQ targets scored in-graph)
 run metricgan_device_scoring env BENCH_GAN_DEVICE_SCORING=1 \
     python benchmarks/bench_models.py metricganokd
+# inference latency / RTF (serving shapes) + streaming step
+run inference python benchmarks/bench_inference.py
 echo "ALL DONE $(date -u)" >> "$LOG"
