@@ -113,6 +113,38 @@ def test_trainer_on_eight_device_mesh(tmp_path):
         results['single'], results['mesh'], rtol=1e-4, atol=1e-5)
 
 
+def test_device_metrics_on_eight_device_mesh(tmp_path):
+    """Validation metrics scored by the on-device twins must work on a
+    sharded batch (GSPMD-sharded enhance output feeding the jitted
+    metric graph) and agree with host scoring."""
+    model = ModelRegistry.get('ffnn')(hidden_layers=[32])
+
+    def make(subdir, device_val_metrics):
+        trainer = BreverTrainer(
+            model=model,
+            train_dataset=DummyDataset(n_items=8),
+            val_dataset=DummyDataset(n_items=4, seed=7),
+            model_dirpath=str(tmp_path / subdir),
+            epochs=1,
+            device='tpu',      # all 8 virtual cpu devices
+            batch_size=16,
+            dynamic_batch_size=True,
+            val_metrics={'estoi', 'snr', 'sisnr'},
+            val_period=1,
+            device_val_metrics=device_val_metrics,
+            seed=0,
+        )
+        trainer.run()
+        return trainer.loss_logger.metrics[0]
+
+    dev = make('dev', True)
+    host = make('host', False)
+    assert set(dev) == {'estoi', 'snr', 'sisnr'}
+    for k in dev:
+        np.testing.assert_allclose(dev[k], host[k], rtol=1e-3,
+                                   atol=2e-3)
+
+
 def test_distributed_batch_sampler_wrapper_single_process():
     from brever_tpu.batching import (
         BatchSamplerRegistry,
