@@ -72,6 +72,30 @@ def bench_streaming(chunk_ms=64):
           f'({budget / dt:.0f}x real time)', flush=True)
 
 
+def bench_streaming_dccrn(chunk_ms=64):
+    from brever_tpu.streaming import StreamingDCCRN
+
+    model = ModelRegistry.get('dccrn')()
+    variables = jax.jit(model.init_variables)(jax.random.PRNGKey(0))
+    hop = model.stft.hop_length
+    chunk = int(chunk_ms * FS / 1000) // hop * hop
+    se = StreamingDCCRN(model, variables, chunk_samples=chunk)
+    state = se.init_state(batch_size=1)
+    x = np.random.RandomState(0).randn(1, chunk).astype('float32')
+    state, out = se.step(state, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    n = 50
+    for _ in range(n):
+        state, out = se.step(state, x)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    budget = chunk / FS
+    print(f'dccrn streaming: {chunk / FS * 1e3:.0f} ms chunks in '
+          f'{dt * 1e3:.2f} ms/step ({budget / dt:.0f}x real time)',
+          flush=True)
+
+
 def main():
     archs = sys.argv[1:] or DEFAULT_ARCHS
     print(f'# device: {jax.devices()[0].device_kind}', flush=True)
@@ -85,6 +109,8 @@ def main():
                       flush=True)
     if 'convtasnet' in archs:
         bench_streaming()
+    if 'dccrn' in archs:
+        bench_streaming_dccrn()
 
 
 if __name__ == '__main__':

@@ -7,10 +7,12 @@ and produces the same samples the offline forward would (up to float
 reassociation in the cumulative-norm statistics; pinned by
 ``tests/test_streaming.py``).
 
-The first implementation covers causal Conv-TasNet
-(``ConvTasNet(causal=True)``; offline twin:
+Two models are covered: causal Conv-TasNet (``StreamingEnhancer``) and
+DCCRN (``StreamingDCCRN`` — the canonical real-time enhancement
+architecture; see its class docstring for the overlap-recompute
+design). Conv-TasNet streamed state (offline twin:
 ``brever_tpu/models/convtasnet.py``, reference architecture
-brever/models/convtasnet/convtasnet.py:20-268). Streamed state:
+brever/models/convtasnet/convtasnet.py:20-268):
 
 * encoder: the ``filter_length - stride`` input-sample tail;
 * TCN input norm and each block's two cumulative layer norms: running
@@ -234,3 +236,234 @@ class StreamingEnhancer:
         if self.model.output_sources == 1:
             out = out[:, 0]
         return new_state, out
+
+
+class StreamingDCCRN:
+    """Stateful chunked twin of ``DCCRN._enhance`` (eval mode).
+
+    Design: DCCRN's time geometry (kernel 2, stride 1, VALID) gives
+    each of the L encoder layers one frame of lookahead, so the
+    streaming pipeline keeps a raw-input tail long enough to RECOMPUTE
+    the last ``L`` STFT frames every chunk: the encoder pyramid then
+    consumes exactly those overlap frames ((F + L) spec frames -> F
+    bottleneck frames) with no per-layer state and bit-identical
+    numerics (the offline conv modules are applied as-is — time-VALID
+    convs are local). Carried state: the raw tail, the complex-LSTM
+    (h, c) per layer, one input frame per decoder transposed conv, and
+    the windowed-overlap-add numerator/denominator tails of the iSTFT.
+
+    The zero-initialized tail makes the streamed output exactly the
+    offline forward on the input left-padded with
+    ``L*hop + frame_length - hop`` zeros, delayed by
+    ``frame_length - hop`` output samples (the OLA completion lag);
+    ``tests/test_streaming.py`` pins the alignment.
+    """
+
+    def __init__(self, model, variables, chunk_samples):
+        from .models.dccrn import DCCRN
+
+        if not isinstance(model, DCCRN):
+            raise TypeError('StreamingDCCRN needs a DCCRN model')
+        self.model = model
+        self.hop = model.stft.hop_length
+        self.frame = model.stft.frame_length
+        if chunk_samples % self.hop:
+            raise ValueError(
+                f'chunk_samples must be a multiple of the STFT hop '
+                f'{self.hop}, got {chunk_samples}')
+        self.n_frames = chunk_samples // self.hop
+        self.L = len(model.channels)
+        if self.n_frames < 1:
+            raise ValueError('chunk too short')
+        self.params = variables['params']
+        self.stats = variables.get('batch_stats', {})
+        self.chunk = chunk_samples
+        # raw tail: L overlap frames + framing remainder
+        self.tail_len = self.L * self.hop + self.frame - self.hop
+        self._step = jax.jit(self._step_impl)
+
+    def init_state(self, batch_size):
+        model, b = self.model, batch_size
+        mod = model.module
+        state = {
+            'in_tail': jnp.zeros((b, self.tail_len), jnp.float32),
+            'lstm': [
+                {
+                    net: (jnp.zeros((2 * b, mod.lstm_channels)),
+                          jnp.zeros((2 * b, mod.lstm_channels)))
+                    for net in ('real', 'imag')
+                }
+                for _ in range(mod.lstm_layers)
+            ],
+            'dec_ctx': [],
+            'ola_num': jnp.zeros((b, self.frame - self.hop)),
+            'ola_den': jnp.zeros((self.frame - self.hop,)),
+        }
+        # decoder layer j input (after skip concat): freq size of
+        # encoder level L-1-j, channels 4x that level's channel count
+        # (real|skip_real|imag|skip_imag)
+        n_freqs = mod.n_freqs
+        freqs = []
+        f = n_freqs
+        kf, _ = mod.kernel_size
+        sf, _ = mod.stride
+        pf, _ = mod.padding
+        for _ in range(self.L):
+            f = (f + 2 * pf - kf) // sf + 1
+            freqs.append(f)
+        for j in range(self.L):
+            lvl = self.L - 1 - j
+            ch = mod.channels[lvl]
+            state['dec_ctx'].append(
+                jnp.zeros((b, freqs[lvl], 1, 4 * ch)))
+        return state
+
+    def step(self, state, chunk):
+        return self._step(state, jnp.asarray(chunk, jnp.float32))
+
+    # -- helpers mirroring the module's eval-mode layers ---------------
+
+    def _bn(self, x, name):
+        p = self.params[name]
+        s = self.stats[name]
+        inv = jax.lax.rsqrt(s['var'] + 1e-5)
+        return (x - s['mean']) * inv * p['scale'] + p['bias']
+
+    def _prelu_p(self, x, name):
+        alpha = self.params[name]['alpha']
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+    def _step_impl(self, state, chunk):
+        from .models.dccrn import _ComplexConv, _split
+
+        model = self.model
+        mod = model.module
+        stft = model.stft
+        p = self.params
+        b = chunk.shape[0]
+        kf, kt = mod.kernel_size
+        sf, st = mod.stride
+        pf, _ = mod.padding
+        opf, _ = mod.output_padding
+        new_state = {'lstm': [], 'dec_ctx': []}
+
+        # --- STFT over [tail | chunk]: F + L frames ---
+        xin = jnp.concatenate([state['in_tail'], chunk], axis=1)
+        n_sp = self.n_frames + self.L
+        fidx = (np.arange(n_sp)[:, None] * self.hop
+                + np.arange(self.frame)[None, :])
+        frames = xin[:, fidx] * stft.window
+        spec = jnp.fft.rfft(frames, n=stft.n_fft, axis=-1)
+        if stft.normalized:
+            spec = spec / stft._win_norm
+        spec = jnp.swapaxes(spec, -1, -2)[:, 1:, :]   # drop DC
+        spec_ri = jnp.stack([spec.real, spec.imag], axis=-1)
+        new_state['in_tail'] = xin[:, self.n_frames * self.hop:]
+
+        # --- encoder pyramid over the overlap window ---
+        h = spec_ri
+        skips = []
+        for i, ch in enumerate(mod.channels):
+            h = _ComplexConv(
+                features=ch, kernel_size=(kf, kt), strides=(sf, st),
+                padding=((pf, pf), (0, 0)),
+            ).apply({'params': p[f'enc_conv_{i}']}, h)
+            h = self._bn(h, f'enc_norm_{i}')
+            h = self._prelu_p(h, f'enc_prelu_{i}')
+            skips.append(h)
+
+        # --- complex LSTM bottleneck (carried state) ---
+        batch, freqs, frames_n, ch2 = h.shape
+        ch = ch2 // 2
+        hr, hi = _split(h)
+
+        def to_seq(v):
+            return v.transpose(0, 2, 3, 1).reshape(
+                batch, frames_n, ch * freqs)
+
+        seq_r, seq_i = to_seq(hr), to_seq(hi)
+        for li in range(mod.lstm_layers):
+            stacked = jnp.concatenate([seq_r, seq_i], axis=0)
+            lp = p[f'lstm_{li}']
+            outs = {}
+            lstate = {}
+            for net in ('real', 'imag'):
+                w = lp[net]
+                gates_x = stacked @ w['w_ih'] + (w['b_ih'] + w['b_hh'])
+                h0, c0 = state['lstm'][li][net]
+
+                def cell(carry, gx, w_hh=w['w_hh']):
+                    h_prev, c_prev = carry
+                    gates = gx + jnp.matmul(h_prev, w_hh)
+                    i_, f_, g_, o_ = jnp.split(gates, 4, axis=-1)
+                    c = (jax.nn.sigmoid(f_) * c_prev
+                         + jax.nn.sigmoid(i_) * jnp.tanh(g_))
+                    hh = jax.nn.sigmoid(o_) * jnp.tanh(c)
+                    return (hh, c), hh
+
+                (hT, cT), hseq = jax.lax.scan(
+                    cell, (h0, c0), jnp.swapaxes(gates_x, 0, 1))
+                outs[net] = jnp.swapaxes(hseq, 0, 1)
+                lstate[net] = (hT, cT)
+            new_state['lstm'].append(lstate)
+            rr, ri = outs['real'][:batch], outs['real'][batch:]
+            ir, ii = outs['imag'][:batch], outs['imag'][batch:]
+            seq_r, seq_i = rr - ii, ri + ir
+        seq_r = seq_r @ p['lstm_proj_real']['kernel'] \
+            + p['lstm_proj_real']['bias']
+        seq_i = seq_i @ p['lstm_proj_imag']['kernel'] \
+            + p['lstm_proj_imag']['bias']
+
+        def from_seq(v):
+            return v.reshape(batch, frames_n, ch, freqs) \
+                .transpose(0, 3, 1, 2)
+
+        h = jnp.concatenate([from_seq(seq_r), from_seq(seq_i)], axis=-1)
+
+        # --- decoder (1-frame carry per transposed conv) ---
+        F = self.n_frames
+        for j, i in enumerate(reversed(range(self.L))):
+            skip = skips[i][:, :, :F]
+            hr, hi = _split(h[:, :, :F])
+            sr, si = _split(skip)
+            hcat = jnp.concatenate([hr, sr, hi, si], axis=-1)
+            hin = jnp.concatenate([state['dec_ctx'][j], hcat], axis=2)
+            new_state['dec_ctx'].append(hin[:, :, -1:])
+            out_ch = 1 if i == 0 else mod.channels[i - 1]
+            # time padding (0, 0) on the [ctx | F] stream yields the F
+            # outputs aligned with the offline layer's (1, 1)-padded
+            # output at these stream positions
+            h = _ComplexConv(
+                features=out_ch, kernel_size=(kf, kt), strides=(sf, st),
+                padding=((kf - 1 - pf, kf - 1 - pf + opf), (0, 0)),
+                transpose=True,
+            ).apply({'params': p[f'dec_conv_{j}']}, hin)
+            if i != 0:
+                h = self._bn(h, f'dec_norm_{j}')
+                h = self._prelu_p(h, f'dec_prelu_{j}')
+
+        mask = h                                     # (B, F_bins-1, F, 2)
+
+        # --- mask + iSTFT with carried OLA tails ---
+        out_spec = model._apply_mask(spec_ri[:, :, :F], mask)
+        out = jax.lax.complex(out_spec[..., 0], out_spec[..., 1])
+        out = jnp.pad(out, ((0, 0), (1, 0), (0, 0)))  # DC bin
+        x = out / stft.scale_factor
+        if stft.normalized:
+            x = x * stft._win_norm
+        x = jnp.swapaxes(x, -1, -2)
+        fr = jnp.fft.irfft(x, n=stft.n_fft, axis=-1) * stft.window
+        total = F * self.hop + (self.frame - self.hop)
+        oidx = (np.arange(F)[:, None] * self.hop
+                + np.arange(self.frame)[None, :])
+        num = jnp.zeros((b, total)).at[:, oidx].add(fr)
+        num = num.at[:, :self.frame - self.hop].add(state['ola_num'])
+        win2 = jnp.broadcast_to(stft.window ** 2, (F, self.frame))
+        den = jnp.zeros((total,)).at[oidx].add(win2)
+        den = den.at[:self.frame - self.hop].add(state['ola_den'])
+        new_state['ola_num'] = num[:, F * self.hop:]
+        new_state['ola_den'] = den[F * self.hop:]
+        emit_den = den[:F * self.hop]
+        emit = num[:, :F * self.hop] / jnp.where(
+            emit_den > 1e-11, emit_den, 1.0)
+        return new_state, emit

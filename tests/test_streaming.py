@@ -71,3 +71,66 @@ def test_streaming_rejects_misaligned_chunk():
     model, variables = _make()
     with pytest.raises(ValueError):
         StreamingEnhancer(model, variables, chunk_samples=100)
+
+
+def _make_dccrn(**kw):
+    kwargs = dict(channels=[4, 8], lstm_channels=16, lstm_layers=1)
+    kwargs.update(kw)
+    model = ModelRegistry.get('dccrn')(**kwargs)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    return model, variables
+
+
+@pytest.mark.parametrize('lstm_layers', [1, 2])
+def test_streaming_dccrn_matches_offline(lstm_layers):
+    """Streamed DCCRN == offline forward on the left-padded input,
+    delayed by frame//2 output samples (the center-trim of the iSTFT):
+    streamed[n + frame//2] == offline(pad_left(x, tail - frame//2))[n].
+    """
+    from brever_tpu.streaming import StreamingDCCRN
+
+    model, variables = _make_dccrn(channels=[4, 8, 8],
+                                   lstm_layers=lstm_layers)
+    hop = model.stft.hop_length
+    frame = model.stft.frame_length
+    chunk, n_chunks = 1024, 4
+    length = chunk * n_chunks
+    x = np.random.RandomState(0).randn(1, length).astype('float32')
+
+    se = StreamingDCCRN(model, variables, chunk_samples=chunk)
+    pad = se.tail_len - frame // 2
+    state = se.init_state(1)
+    outs = []
+    for i in range(n_chunks):
+        state, out = se.step(state, x[:, i * chunk:(i + 1) * chunk])
+        assert out.shape == (1, chunk)
+        outs.append(np.asarray(out))
+    streamed = np.concatenate(outs, -1)
+
+    xp = np.concatenate([np.zeros((1, pad), 'float32'), x], -1)
+    offline = np.asarray(model.enhance(variables, xp[:, None]))
+    half = frame // 2
+    n = length - half
+    np.testing.assert_allclose(streamed[:, half:], offline[:, :n],
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_streaming_dccrn_state_fixed_shape():
+    from brever_tpu.streaming import StreamingDCCRN
+
+    model, variables = _make_dccrn()
+    se = StreamingDCCRN(model, variables, chunk_samples=512)
+    state = se.init_state(batch_size=2)
+    shapes0 = jax.tree.map(lambda a: a.shape, state)
+    x = np.random.RandomState(1).randn(2, 512).astype('float32')
+    state, out = se.step(state, x)
+    assert out.shape == (2, 512)
+    assert jax.tree.map(lambda a: a.shape, state) == shapes0
+
+
+def test_streaming_dccrn_rejects_misaligned_chunk():
+    from brever_tpu.streaming import StreamingDCCRN
+
+    model, variables = _make_dccrn()
+    with pytest.raises(ValueError):
+        StreamingDCCRN(model, variables, chunk_samples=100)
