@@ -264,6 +264,10 @@ class StreamingDCCRN:
 
         if not isinstance(model, DCCRN):
             raise TypeError('StreamingDCCRN needs a DCCRN model')
+        if model.module.complex_batchnorm:
+            raise NotImplementedError(
+                'streaming supports the plain-batchnorm DCCRN variant '
+                '(use_complex_batchnorm=False)')
         self.model = model
         self.hop = model.stft.hop_length
         self.frame = model.stft.frame_length
