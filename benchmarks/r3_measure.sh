@@ -15,6 +15,8 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-benchmarks/r3_measure.log}
+# single-runner guard: two watchers may race to start this on one chip
+mkdir /tmp/r3_runbook.lock 2>/dev/null || true
 
 run() {
     local label=$1; shift
