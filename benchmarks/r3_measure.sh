@@ -16,7 +16,10 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-benchmarks/r3_measure.log}
 # single-runner guard: two watchers may race to start this on one chip
-mkdir /tmp/r3_runbook.lock 2>/dev/null || true
+if ! mkdir /tmp/r3_runbook.lock 2>/dev/null; then
+    echo "r3_measure already running/ran; exiting" >> "$LOG"
+    exit 0
+fi
 
 run() {
     local label=$1; shift
