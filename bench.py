@@ -150,14 +150,29 @@ def main():
                     'batch', 'ms_per_step', 'steps_per_sec',
                     'flops_per_step', 'achieved_tflops', 'mfu',
                     'bytes_per_step', 'mxu_floor_ms', 'hbm_floor_ms',
-                    'hbm_roofline_frac')}
+                    'hbm_roofline_frac', 'torch_cpu_audio_ratio')
+                    if k in r}
                 for a, r in results.items()
             },
         }), flush=True)
 
+    # per-arch torch-CPU reference throughput (param-pinned twins of
+    # the same architectures; benchmarks/torch_baselines.py)
+    torch_base = {}
+    all_path = os.path.join(here, 'benchmarks',
+                            'baseline_torch_cpu_all.json')
+    if os.path.exists(all_path):
+        with open(all_path) as f:
+            torch_base = json.load(f)
+
     detail_path = os.path.join(here, 'benchmarks', 'bench_detail.json')
     for arch in archs:
         sub = bench_all([arch])
+        for a, r in sub.items():
+            if a in torch_base:
+                r['torch_cpu_audio_ratio'] = round(
+                    r['audio_sec_per_sec']
+                    / torch_base[a]['audio_sec_per_sec'], 1)
         results.update(sub)
         with open(detail_path, 'w') as f:
             json.dump(results, f, indent=2)
