@@ -21,6 +21,14 @@ from brever_tpu.models import ModelRegistry  # noqa: E402
 from brever_tpu.training import BreverTrainer  # noqa: E402
 
 
+# sets dump in hash order by default, churning the files on every
+# regeneration; emit members sorted so regen is idempotent
+yaml.SafeDumper.add_representer(
+    set,
+    lambda dumper, data: dumper.represent_mapping(
+        'tag:yaml.org,2002:set', {k: None for k in sorted(data)}))
+
+
 def spec_defaults(cls):
     return {arg: item['default']
             for arg, item in get_func_spec(cls).items()}
@@ -36,7 +44,8 @@ def main(config_dir):
     }
     path = os.path.join(config_dir, 'dataset.yaml')
     with open(path, 'w') as f:
-        yaml.dump(dataset_cfg, f, sort_keys=False)
+        yaml.dump(dataset_cfg, f, sort_keys=False,
+                  Dumper=yaml.SafeDumper)
     print(f'wrote {path}')
 
     dataset_defaults = spec_defaults(BreverDataset)
@@ -53,7 +62,8 @@ def main(config_dir):
         }
         path = os.path.join(config_dir, 'models', f'{arch}.yaml')
         with open(path, 'w') as f:
-            yaml.dump(model_cfg, f, sort_keys=False)
+            yaml.dump(model_cfg, f, sort_keys=False,
+                      Dumper=yaml.SafeDumper)
         print(f'wrote {path}')
 
 
