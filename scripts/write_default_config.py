@@ -22,8 +22,11 @@ from brever_tpu.training import BreverTrainer  # noqa: E402
 
 
 # sets dump in hash order by default, churning the files on every
-# regeneration; emit members sorted so regen is idempotent
-yaml.SafeDumper.add_representer(
+# regeneration; emit members sorted so regen is idempotent. The plain
+# Dumper is kept (NOT SafeDumper) so tuple defaults round-trip as
+# !!python/tuple like the reference's config files — SafeDumper would
+# silently demote them to lists and break the config type contract.
+yaml.Dumper.add_representer(
     set,
     lambda dumper, data: dumper.represent_mapping(
         'tag:yaml.org,2002:set', {k: None for k in sorted(data)}))
@@ -44,8 +47,7 @@ def main(config_dir):
     }
     path = os.path.join(config_dir, 'dataset.yaml')
     with open(path, 'w') as f:
-        yaml.dump(dataset_cfg, f, sort_keys=False,
-                  Dumper=yaml.SafeDumper)
+        yaml.dump(dataset_cfg, f, sort_keys=False)
     print(f'wrote {path}')
 
     dataset_defaults = spec_defaults(BreverDataset)
@@ -62,8 +64,7 @@ def main(config_dir):
         }
         path = os.path.join(config_dir, 'models', f'{arch}.yaml')
         with open(path, 'w') as f:
-            yaml.dump(model_cfg, f, sort_keys=False,
-                      Dumper=yaml.SafeDumper)
+            yaml.dump(model_cfg, f, sort_keys=False)
         print(f'wrote {path}')
 
 
