@@ -47,6 +47,11 @@ run convtasnet_tile4096 env BREVER_TCN_TILE=4096 \
     python benchmarks/bench_models.py convtasnet
 run convtasnet_tile512 env BREVER_TCN_TILE=512 \
     python benchmarks/bench_models.py convtasnet
+# per-kernel signal for the same sweep (isolates one block from the
+# 24-block model sum)
+run tcn_kernel_tile1024 python benchmarks/bench_tcn_kernel.py
+run tcn_kernel_tile4096 env BREVER_TCN_TILE=4096 \
+    python benchmarks/bench_tcn_kernel.py
 # on-device metric twins vs host scoring (incl. the d2h fetch cost the
 # host path pays on the tunnel)
 run metrics_device python benchmarks/bench_metrics.py 16 4
