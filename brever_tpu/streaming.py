@@ -31,8 +31,6 @@ Usage::
         state, out = enhancer.step(state, chunk)
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

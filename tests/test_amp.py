@@ -17,8 +17,6 @@ the contract matches brever/training.py:272 (``use_amp`` +
 ``GradScaler``).
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,7 +25,6 @@ import pytest
 from brever_tpu.models import ModelRegistry
 from brever_tpu.models.base import param_dtype, sample_weighted_mean
 
-from utils import DummyDataset
 from test_training import GOLDEN_KWARGS, make_trainer
 
 

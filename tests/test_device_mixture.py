@@ -7,7 +7,6 @@ import numpy as np
 from brever_tpu.mixture import device as dev
 from brever_tpu.mixture.dsp import (
     Mixture,
-    adjust_snr,
     spatialize as np_spatialize,
     split_brir as np_split_brir,
 )

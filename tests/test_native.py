@@ -67,10 +67,8 @@ def test_native_tar_batch(tmp_path):
 def test_native_loader_matches_python(tmp_path):
     """BreverDataLoader(native=True) must produce the same batches as
     the pure-Python path."""
-    import yaml
     from brever_tpu.batching import SortedBatchSampler
     from brever_tpu.data import BreverDataLoader, BreverDataset
-    from brever_tpu.mixture.synthetic import make_synthetic_speech_corpus
 
     # build a tiny wav tar dataset directly
     rng = np.random.RandomState(3)
