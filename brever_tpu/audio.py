@@ -42,7 +42,10 @@ class AudioInfo:
 def _parse_wav_header(f):
     """Parse RIFF chunks up to 'data'; returns (fmt dict, data_offset,
     data_size)."""
-    riff, _, wave = struct.unpack('<4sI4s', f.read(12))
+    head = f.read(12)
+    if len(head) < 12:
+        raise ValueError('truncated WAV header')
+    riff, _, wave = struct.unpack('<4sI4s', head)
     if riff != b'RIFF' or wave != b'WAVE':
         raise ValueError('not a RIFF/WAVE file')
     fmt = None
@@ -53,6 +56,8 @@ def _parse_wav_header(f):
         chunk_id, size = struct.unpack('<4sI', header)
         if chunk_id == b'fmt ':
             payload = f.read(size)
+            if len(payload) < 16:
+                raise ValueError('truncated WAV fmt chunk')
             (tag, channels, samplerate, _, block_align, bits) = \
                 struct.unpack('<HHIIHH', payload[:16])
             if tag == _WAVE_FORMAT_EXTENSIBLE and size >= 40:

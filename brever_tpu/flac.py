@@ -70,6 +70,8 @@ class _BitReader:
         return v
 
     def read_unary(self):
+        if self.pos >= len(self.bits):
+            raise FlacError('unexpected end of stream in unary code')
         idx = int(np.argmax(self.bits[self.pos:]))
         if not self.bits[self.pos + idx]:
             raise FlacError('unexpected end of stream in unary code')
@@ -88,6 +90,8 @@ class _BitReader:
         bits = self.bits
         pos = self.pos
         for i in range(n):
+            if pos >= len(bits):
+                raise FlacError('unexpected end of stream')
             idx = int(np.argmax(bits[pos:]))
             if not bits[pos + idx]:
                 raise FlacError('unexpected end of stream')
@@ -95,6 +99,8 @@ class _BitReader:
             q = idx
             r = 0
             if param:
+                if pos + param > len(bits):
+                    raise FlacError('unexpected end of stream')
                 for b in bits[pos:pos + param].tolist():
                     r = (r << 1) | b
                 pos += param

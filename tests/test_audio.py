@@ -92,3 +92,20 @@ def test_always_2d(tmp_path):
     write_wav(path, x, 16000)
     y, _ = read_wav(path, always_2d=True)
     assert y.shape == (100, 1)
+
+
+def test_wav_truncation_fuzz(tmp_path):
+    """Truncated WAVs must raise ValueError, not unpack/index errors."""
+    import io as _io
+
+    from brever_tpu.audio import read_wav, write_wav
+
+    buf = _io.BytesIO()
+    x = np.random.RandomState(0).randn(500, 2).astype('float32')
+    write_wav(buf, x, 16000)
+    raw = buf.getvalue()
+    for cut in list(range(1, 44, 4)) + [50, 100, len(raw) // 2]:
+        try:
+            read_wav(_io.BytesIO(raw[:cut]))
+        except (ValueError, EOFError):
+            pass

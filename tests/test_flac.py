@@ -210,3 +210,17 @@ def test_flac_dataset_pipeline(tmp_path):
         for b, ln in batches:
             assert np.isfinite(b).all()
             assert b.shape[1] == 2 and b.shape[2] == 2
+
+
+def test_truncation_fuzz_never_raises_bare_errors():
+    """Cutting the stream at ANY point must surface FlacError (never
+    IndexError/struct.error/KeyError): callers catch codec errors."""
+    x = _speechish(4000)
+    enc = bytes(flac.encode(x, 16000))
+    cuts = list(range(1, 60, 3)) + list(
+        np.linspace(60, len(enc) - 1, 40, dtype=int))
+    for cut in cuts:
+        try:
+            flac.decode(enc[:cut])
+        except flac.FlacError:
+            pass
