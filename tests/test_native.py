@@ -98,3 +98,20 @@ def test_native_loader_matches_python(tmp_path):
         np.testing.assert_array_equal(l1, l2)
         assert b1.shape == b2.shape
         np.testing.assert_allclose(b1, b2, atol=1e-7)
+
+
+def test_native_decode_truncation_fuzz():
+    """Truncated inputs must decode partially or raise ValueError —
+    never crash (the loader feeds raw tar slices to this decoder)."""
+    if not native.available():
+        pytest.skip('native library unavailable')
+    buf = io.BytesIO()
+    x = (np.random.RandomState(0).randn(2000, 2) * 0.1).astype('float32')
+    write_wav(buf, x, 16000)
+    raw = buf.getvalue()
+    for cut in range(1, len(raw), 257):
+        try:
+            out, n, fs = native.decode_wav(raw[:cut], 2000)
+            assert 0 <= n <= 2000
+        except ValueError:
+            pass
