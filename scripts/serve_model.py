@@ -7,6 +7,11 @@ enhance executable, and answers
 * ``GET /health`` — JSON: architecture, parameter count, sample rate
 * ``POST /enhance`` — body: a WAV file; response: the enhanced WAV
   (mono float32 at the model sample rate)
+* ``POST /enhance_stream`` — body: raw float32 LE mono PCM, sent with
+  chunked transfer encoding; processed incrementally through the
+  stateful streaming pipeline (:mod:`brever_tpu.streaming`) in
+  constant memory, response is the enhanced raw PCM. Causal models
+  only (causal Conv-TasNet / DCCRN).
 
 Requests are serialized through one device executable (single-chip
 serving; scale-out is one process per chip behind any load balancer).
@@ -95,6 +100,58 @@ class EnhanceService:
             'checkpoint': self.checkpoint,
         }
 
+    # -- streaming -------------------------------------------------------
+
+    STREAM_CHUNK = 4096  # samples per streaming step
+
+    def streamer(self):
+        """Cached stateful-streaming pipeline; raises ValueError for
+        architectures without a streaming twin."""
+        if not hasattr(self, '_streamer'):
+            from brever_tpu.streaming import (StreamingDCCRN,
+                                              StreamingEnhancer)
+            try:
+                if self.arch == 'dccrn':
+                    self._streamer = StreamingDCCRN(
+                        self.model, self.variables, self.STREAM_CHUNK)
+                else:
+                    self._streamer = StreamingEnhancer(
+                        self.model, self.variables, self.STREAM_CHUNK)
+            except (TypeError, ValueError) as e:
+                self._streamer = ValueError(str(e))
+        if isinstance(self._streamer, ValueError):
+            raise self._streamer
+        return self._streamer
+
+    def stream_blocks(self, blocks):
+        """Generator: raw f32 LE PCM byte blocks in -> enhanced byte
+        blocks out, one streaming step per STREAM_CHUNK samples."""
+        enh = self.streamer()
+        chunk_bytes = self.STREAM_CHUNK * 4
+        state = enh.init_state(1)
+        buf = b''
+        total_in = 0
+        emitted = 0
+        for block in blocks:
+            buf += block
+            total_in += len(block)
+            while len(buf) >= chunk_bytes:
+                piece, buf = buf[:chunk_bytes], buf[chunk_bytes:]
+                x = np.frombuffer(piece, '<f4')[None]
+                with self._lock:
+                    state, out = enh.step(state, x)
+                out = np.asarray(out, np.float32).reshape(-1)
+                emitted += out.size
+                yield out.tobytes()
+        if buf:
+            pad = chunk_bytes - len(buf)
+            x = np.frombuffer(buf + b'\0' * pad, '<f4')[None]
+            with self._lock:
+                state, out = enh.step(state, x)
+            want = total_in // 4 - emitted
+            out = np.asarray(out, np.float32).reshape(-1)[:want]
+            yield out.tobytes()
+
 
 class _Handler(BaseHTTPRequestHandler):
     service = None  # set by make_server
@@ -117,7 +174,39 @@ class _Handler(BaseHTTPRequestHandler):
         body = json.dumps(self.service.health()).encode()
         self._reply(200, body, 'application/json')
 
+    def _iter_body(self, block=65536):
+        """Yield request-body blocks; decodes chunked transfer coding
+        (http.server leaves it to handlers)."""
+        te = self.headers.get('Transfer-Encoding', '')
+        if 'chunked' in te.lower():
+            while True:
+                line = self.rfile.readline().strip()
+                size = int(line.split(b';')[0], 16)
+                if size == 0:
+                    self.rfile.readline()
+                    return
+                yield self.rfile.read(size)
+                self.rfile.read(2)  # chunk-terminating CRLF
+        else:
+            remaining = int(self.headers.get('Content-Length', 0))
+            while remaining > 0:
+                data = self.rfile.read(min(block, remaining))
+                if not data:
+                    return
+                remaining -= len(data)
+                yield data
+
     def do_POST(self):
+        if self.path == '/enhance_stream':
+            try:
+                parts = list(self.service.stream_blocks(
+                    self._iter_body()))
+            except ValueError as e:
+                self._reply(400, json.dumps(
+                    {'error': str(e)}).encode(), 'application/json')
+                return
+            self._reply(200, b''.join(parts), 'application/octet-stream')
+            return
         if self.path != '/enhance':
             self._reply(404, b'{"error": "not found"}',
                         'application/json')

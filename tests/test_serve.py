@@ -77,3 +77,50 @@ def test_serve_model_http(tmp_path):
         assert conn.getresponse().status == 404
     finally:
         server.shutdown()
+
+
+def test_serve_model_streaming(tmp_path):
+    from serve_model import make_server
+
+    model = ModelRegistry.get('convtasnet')(causal=True, **TINY)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    model_dir = tmp_path / 'model'
+    (model_dir / 'checkpoints').mkdir(parents=True)
+    with open(model_dir / 'config.yaml', 'w') as f:
+        yaml.dump({'arch': 'convtasnet',
+                   'model': {**TINY, 'causal': True}}, f)
+    save_checkpoint(model_dir / 'checkpoints' / 'last.ckpt',
+                    {'params': variables['params'], 'aux': {}})
+
+    server, service = make_server(str(model_dir), port=0, warmup=False)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        n = 10000  # not a multiple of the 4096-sample step
+        x = (np.random.RandomState(0).randn(n) * 0.1).astype('<f4')
+        raw = x.tobytes()
+        blocks = [raw[i:i + 3000] for i in range(0, len(raw), 3000)]
+        conn = http.client.HTTPConnection('127.0.0.1', port, timeout=300)
+        conn.request('POST', '/enhance_stream', body=iter(blocks),
+                     encode_chunked=True,
+                     headers={'Transfer-Encoding': 'chunked'})
+        resp = conn.getresponse()
+        body = resp.read()
+        assert resp.status == 200, body
+        out = np.frombuffer(body, '<f4')
+        assert out.shape == (n,)
+        assert np.isfinite(out).all()
+
+        # streamed output must equal the direct streaming pipeline
+        from brever_tpu.streaming import StreamingEnhancer
+        enh = StreamingEnhancer(model, variables, 4096)
+        state = enh.init_state(1)
+        ref = []
+        padded = np.concatenate([x, np.zeros(4096 * 3 - n, np.float32)])
+        for i in range(0, len(padded), 4096):
+            state, o = enh.step(state, padded[None, i:i + 4096])
+            ref.append(np.asarray(o).reshape(-1))
+        ref = np.concatenate(ref)[:n]
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+    finally:
+        server.shutdown()
