@@ -6,6 +6,7 @@ line of space-separated paths per duplicated config (reference
 scripts/find_duplicate_configs.py).
 """
 
+import argparse
 import os
 import sys
 
@@ -16,7 +17,11 @@ from brever_tpu.config import get_config  # noqa: E402
 
 
 def main():
+    argparse.ArgumentParser(description=__doc__).parse_args()
     models_dir = get_config('config/paths.yaml').MODELS
+    if not os.path.isdir(models_dir):
+        print(f'no models directory at {models_dir}')
+        return
 
     cfgs = {}
     for model_id in os.listdir(models_dir):
