@@ -897,10 +897,31 @@ BUILDERS = {
 }
 
 
+class _ConvTasNetStep(nn.Module):
+    """Adds the training objective (mono mixdown + SI-SNR) around the
+    bare TorchConvTasNet forward."""
+
+    def __init__(self):
+        super().__init__()
+        from torch_convtasnet import TorchConvTasNet
+        self.net = TorchConvTasNet()
+
+    def loss(self, batch):
+        mono = batch.mean(dim=2)             # (B, 2, L)
+        mix, clean = mono[:, 0], mono[:, 1]
+        est = self.net(mix)[:, 0]
+        est = est - est.mean(dim=-1, keepdim=True)
+        ref = clean - clean.mean(dim=-1, keepdim=True)
+        proj = (est * ref).sum(-1, keepdim=True) * ref \
+            / (ref**2).sum(-1, keepdim=True)
+        noise = est - proj
+        ratio = (proj**2).sum(-1) / ((noise**2).sum(-1) + EPS)
+        return (-10 * torch.log10(ratio + EPS)).mean()
+
+
 def build(arch):
-    from torch_convtasnet import TorchConvTasNet  # noqa: local import
     if arch == 'convtasnet':
-        return TorchConvTasNet(), 1e-3, 5.0
+        return _ConvTasNetStep(), 1e-3, 5.0
     cls, lr, clip = BUILDERS[arch]
     return cls(), lr, clip
 
