@@ -33,6 +33,12 @@ run bench_headline_2 env BENCH_ARCHS=convtasnet python bench.py
 run tfgridnet_scan python benchmarks/bench_models.py tfgridnet
 run tfgridnet_inline env BENCH_TFGRIDNET_INLINE=1 \
     python benchmarks/bench_models.py tfgridnet
+# flash-LSTM Pallas scan (VERDICT r2 #2): parity is interpreter-pinned,
+# step time is the open question — this is the first hardware timing
+run tfgridnet_flash env BREVER_FUSED_LSTM=1 \
+    python benchmarks/bench_models.py tfgridnet
+run tfgridnet_flash_inline env BREVER_FUSED_LSTM=1 BENCH_TFGRIDNET_INLINE=1 \
+    python benchmarks/bench_models.py tfgridnet
 run sgmsepm python benchmarks/bench_models.py sgmsepm
 run dccrn python benchmarks/bench_models.py dccrn
 run manner python benchmarks/bench_models.py manner
