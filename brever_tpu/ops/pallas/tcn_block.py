@@ -339,8 +339,12 @@ def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
         gh1 = rstd1 * (ghh1 - (s1a + hh1 * s1b) * inv_n)
         gz1 = jnp.where(z1 >= 0, gh1, a1 * gh1)
         da1_acc += jnp.sum(gh1 * jnp.minimum(z1, 0.0))
+        # dW_in in x's dtype: under bf16 amp this is a single-pass MXU
+        # matmul (an f32 x f32 dot lowers to a 3-6x multi-pass), and it
+        # is exactly what differentiating the amp jnp twin computes;
+        # the f32 parity tests are unaffected (astype is a no-op there)
         dwin_ref[...] += jnp.dot(
-            x_ref[0, lo:hi, :].astype(jnp.float32).T, gz1,
+            x_ref[0, lo:hi, :].T, gz1.astype(x_ref.dtype),
             preferred_element_type=jnp.float32)
         dbin_ref[...] += jnp.sum(gz1, axis=0, keepdims=True)
         dx = jnp.dot(gz1.astype(x_ref.dtype), w_in_ref[...].T,
@@ -689,8 +693,11 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
         gh1 = rstd1 * (ghh1 - (s1a + hh1 * s1b) * inv_n)
         gz1 = jnp.where(z1 >= 0, gh1, a1 * gh1)
         da1_acc += jnp.sum(gh1 * jnp.minimum(z1, 0.0))
+        # dW_in in x's dtype: single-pass MXU matmul under bf16 amp
+        # (f32 x f32 dots lower to 3-6x multi-pass); matches the amp
+        # jnp twin's gradient, no-op in the f32 parity tests
         dwin_ref[...] += jnp.dot(
-            x_ref[0, start:start + size, :].astype(jnp.float32).T, gz1,
+            x_ref[0, start:start + size, :].T, gz1.astype(x_ref.dtype),
             preferred_element_type=jnp.float32)
         dbin_ref[...] += jnp.sum(gz1, axis=0, keepdims=True)
         dx = jnp.dot(gz1.astype(x_ref.dtype), w_in_ref[...].T,
