@@ -229,9 +229,12 @@ def _bwd_kernel(gx_ref, whh_ref, h_ref, c_ref, hb_ref, cb_ref, dh_ref,
             preferred_element_type=jnp.float32).astype(dt)
         dc_scr[...] = dc * f
         dgx_ref[t, 0] = dgates
+        # dW_hh accumulates in f32 but multiplies at the carry dtype:
+        # under bf16 amp that is one MXU pass per step (an f32 x f32
+        # dot lowers to a 3-6x multi-pass sequence), and it is what
+        # differentiating the jnp twin computes; no-op for f32 inputs
         return dw + jnp.dot(
-            h_prev.astype(jnp.float32).T, dgates.astype(jnp.float32),
-            preferred_element_type=jnp.float32)
+            h_prev.T, dgates, preferred_element_type=jnp.float32)
 
     dw = jax.lax.fori_loop(
         0, t_chunk, bstep,
