@@ -118,3 +118,38 @@ def test_fused_lstm_unidirectional_wrapper(monkeypatch):
     got = _dispatch_scan(gates_x, w_hh, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_fused_lstm_bf16_gradient_parity():
+    """Amp-dtype gradients: the backward's dW_hh accumulation multiplies
+    at the carry dtype (bf16 under amp) with an f32 accumulator — pin
+    that configuration against the jnp twin run in bf16 (the f32 tests
+    above cannot see a regression in the amp-dtype matmul path)."""
+    h = 128
+    n_dir, rows, t_steps = 2, 16, 9
+    rng = np.random.RandomState(4)
+    gates_x = jnp.asarray(
+        rng.randn(t_steps, n_dir, rows, 4 * h).astype('float32') * 0.3
+    ).astype(jnp.bfloat16)
+    w_hh = jnp.asarray(
+        rng.randn(n_dir, h, 4 * h).astype('float32') * 0.1
+    ).astype(jnp.bfloat16)
+    cot = jnp.asarray(
+        rng.randn(t_steps, n_dir, rows, h).astype('float32')
+    ).astype(jnp.bfloat16)
+
+    g_fused = jax.grad(
+        lambda gx, w: jnp.sum(
+            fused_mod.lstm_scan_fused(gx, w).astype(jnp.float32)
+            * cot.astype(jnp.float32)),
+        argnums=(0, 1))(gates_x, w_hh)
+    g_ref = jax.grad(
+        lambda gx, w: jnp.sum(
+            _ref_scan(gx, w).astype(jnp.float32)
+            * cot.astype(jnp.float32)),
+        argnums=(0, 1))(gates_x, w_hh)
+    for got, want in zip(g_fused, g_ref):
+        got32 = np.asarray(got, dtype=np.float32)
+        want32 = np.asarray(want, dtype=np.float32)
+        assert np.isfinite(got32).all()
+        np.testing.assert_allclose(got32, want32, rtol=3e-2, atol=3e-2)

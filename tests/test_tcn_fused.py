@@ -121,3 +121,47 @@ def test_convtasnet_fused_param_tree_unchanged(monkeypatch):
     keys_ref = set(flatten_dict(ref['params']).keys())
     keys_fused = set(flatten_dict(fused_vars['params']).keys())
     assert keys_ref == keys_fused
+
+
+@pytest.mark.parametrize('dilation', [4, 8])
+def test_fused_gradients_bf16_parity(dilation):
+    """Amp-dtype gradients: dW_in multiplies at x's dtype (bf16 under
+    amp, f32 accumulator) — pin fused-vs-twin agreement with bf16
+    inputs for both backward variants (d=4 recompute, d=8 scratch).
+    The f32 tests above are blind to regressions in this path."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 192, 64).astype('float32')) \
+        .astype(jnp.bfloat16)
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16), _params(rng, 64, 96, 64))
+
+    def loss_fused(x, params):
+        res, skip = tcn.tcn_block_fused(x, params, dilation, False,
+                                        tile=64, interpret=True)
+        return (res.astype(jnp.float32) ** 2).mean() \
+            + (skip.astype(jnp.float32) ** 2).sum()
+
+    def loss_ref(x, params):
+        res, skip = tcn.tcn_block_reference(x, params, dilation, False)
+        return (res.astype(jnp.float32) ** 2).mean() \
+            + (skip.astype(jnp.float32) ** 2).sum()
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(
+        np.asarray(gx_f, dtype=np.float32),
+        np.asarray(gx_r, dtype=np.float32), rtol=5e-2, atol=5e-2)
+    for a, b in zip(gp_f, gp_r):
+        a32 = np.asarray(a, dtype=np.float32)
+        b32 = np.asarray(b, dtype=np.float32)
+        assert np.isfinite(a32).all()
+        if a32.size == 1:
+            # PReLU alpha grads: a heavily-cancelling scalar sum of
+            # ~18k bf16-rounded products — the kernel (f32
+            # intermediates) and the bf16 twin legitimately diverge
+            # beyond any tight bound; pin order of magnitude only
+            assert abs(float(a32) - float(b32)) \
+                <= 0.2 * max(1.0, abs(float(b32)))
+            continue
+        np.testing.assert_allclose(a32, b32, rtol=5e-2,
+                                   atol=5e-2 * max(1.0, np.abs(b32).max()))
