@@ -25,17 +25,32 @@ train step, 87 -> ~50 ms/step at batch 16 x 4 s.
 Forward kernel (grid over batch rows): chunked passes over
 VMEM-resident scratch rows —
   A. z1/h1 chunks -> h1 scratch, accumulate gLN1 statistics,
-  B. normalize (with dilation halo), depthwise conv -> z2 scratch,
-     accumulate gLN2 statistics,
-  C. normalize z2, output matmuls -> res/skip.
+  B. folded depthwise conv on RAW h1 -> z2 scratch, accumulate gLN2
+     statistics,
+  C. output matmuls on RAW h2 against pre-scaled weights -> res/skip.
 The gLN reduction barriers that forced XLA round-trips become loop
 boundaries between VMEM passes.
 
+Every gLN affine is FOLDED out of the elementwise passes (the VPU
+work runs serialized with the MXU inside a Pallas kernel, so each
+saved op/element is wall-clock): with y = hs*h + cv (hs = g*rstd,
+cv = be - mean*hs),
+  * pass B applies taps w_k*hs to raw h1 plus one constant row
+    (boundary rows where a tap reads the zero-padding get the
+    constant removed);
+  * pass C computes y2 @ W + b as h2 @ (hs^T*W) + (cv @ W + b);
+  * the backward norm reductions (dg/dbe/s_a/s_b) collapse into two
+    channel accumulators (sum g, sum g*h), and gh becomes the
+    2-term form hs*gy + b_s*h + c_s with per-row scalars b_s/c_s.
+All algebraically exact in f32 (the kernels' compute dtype).
+
 Backward kernel (forward saves only four gLN scalars per row):
-recomputes z1/y1/z2 into scratch once, then three gradient passes
+recomputes z1/h1/z2 into scratch once, then three gradient passes
 (gLN2 backward reductions -> transposed depthwise -> gLN1 backward +
-input/param grads).  Parameter gradients accumulate in f32 across the
-sequential grid (same output block revisited by every batch row).
+input/param grads); pass B3a stashes g_y1 in the dead z2 scratch so
+B3b never recomputes the 3-tap span.  Parameter gradients accumulate
+in f32 across the sequential grid (same output block revisited by
+every batch row).
 
 The fused path engages automatically from the convtasnet model when
 running on TPU in bf16 (amp) with the non-causal global norm; the f32
@@ -214,104 +229,159 @@ def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
         dwskip_ref[...] = jnp.zeros_like(dwskip_ref)
         dbskip_ref[...] = jnp.zeros_like(dbskip_ref)
 
+    # folded gLN affines (see the forward kernel): y1 = hs1*h1 + cv1,
+    # y2 = hs2*h2 + cv2 — recompute spans stay on RAW h1/h2 with the
+    # affines folded into taps, weights and per-row scalars
+    hs1 = g1 * rstd1
+    cv1 = be1 - mean1 * hs1
+    w0f = w0 * hs1
+    w1f = w1 * hs1
+    w2f = w2 * hs1
+    c0 = w0 * cv1
+    c2 = w2 * cv1
+    c_all = b_dw + c0 + w1 * cv1 + c2
+    hs2 = g2 * rstd2
+    cv2 = be2_ref[...].astype(jnp.float32) - mean2 * hs2
+
     # ---- forward recompute helpers (all f32, from VMEM x) ----
     def z1_span(lo, hi):
         z = jnp.dot(x_ref[0, lo:hi, :], w_in_ref[...],
                     preferred_element_type=jnp.float32)
         return z + b_in_ref[...].astype(jnp.float32)
 
-    def hhat1_span(lo, hi):
-        """(z1, h-hat-1) on a clamped span."""
+    def h1_parts(lo, hi):
+        """(z1, RAW h1) on an in-range span."""
         z = z1_span(lo, hi)
-        h = jnp.where(z >= 0, z, a1 * z)
-        return z, (h - mean1) * rstd1
+        return z, jnp.where(z >= 0, z, a1 * z)
 
-    def y1_span(start, size):
+    def h1_span(start, size):
+        """RAW h1 on [start, start+size), ZERO outside [0, T)."""
         lo = max(start, 0)
         hi = min(start + size, t_total)
-        _, hh = hhat1_span(lo, hi)
-        y = hh * g1 + be1
+        _, h = h1_parts(lo, hi)
         if lo - start or start + size - hi:
-            y = jnp.pad(y, ((lo - start, start + size - hi), (0, 0)))
-        return y
+            h = jnp.pad(h, ((lo - start, start + size - hi), (0, 0)))
+        return h
 
     def z2_span(start, size):
-        ext = y1_span(start - d, size + 2 * d)
-        return (ext[:size] * w0 + ext[d:d + size] * w1
-                + ext[2 * d:2 * d + size] * w2 + b_dw)
+        """z2 on [start, start+size), which must lie inside [0, T)."""
+        ext = h1_span(start - d, size + 2 * d)
+        z2 = (ext[:size] * w0f + ext[d:d + size] * w1f
+              + ext[2 * d:2 * d + size] * w2f + c_all)
+        # out-of-range taps read y1 = 0 (not affine(0)): remove their
+        # folded constant on the boundary rows
+        if start < d:
+            n0 = min(size, d - start)
+            z2 = z2 - jnp.pad(jnp.broadcast_to(c0, (n0, z2.shape[1])),
+                              ((0, size - n0), (0, 0)))
+        if start + size > t_total - d:
+            n2 = min(size, start + size - (t_total - d))
+            z2 = z2 - jnp.pad(jnp.broadcast_to(c2, (n2, z2.shape[1])),
+                              ((size - n2, 0), (0, 0)))
+        return z2
 
     def ghat2_parts(start, size):
-        """(z2, h-hat-2, g_y2) on [start, start+size) clamped."""
+        """(z2, RAW h2, g_y2) on [start, start+size) clamped."""
         lo = max(start, 0)
         hi = min(start + size, t_total)
         z2 = z2_span(lo, hi - lo)
         h2 = jnp.where(z2 >= 0, z2, a2 * z2)
-        hh2 = (h2 - mean2) * rstd2
         gy2 = jnp.dot(gskip_ref[0, lo:hi, :], w_skip_ref[...].T,
                       preferred_element_type=jnp.float32)
         if not last:
             gy2 = gy2 + jnp.dot(gres_ref[0, lo:hi, :], w_res_ref[...].T,
                                 preferred_element_type=jnp.float32)
-        return z2, hh2, gy2, lo, hi
+        return z2, h2, gy2, lo, hi
 
-    # ---- pass B1: gLN2 backward scalars + output-side param grads ----
-    s2a = 0.0
-    s2b = 0.0
+    # ---- pass B1: gLN2 backward channel accumulators + output-side
+    # param grads (dW = hs2^T*(sum_t h2^T g) + cv2^T*(sum_t g)) ----
+    acc2_gh = jnp.zeros((1, n_hidden), jnp.float32)
+    acc2_g = jnp.zeros((1, n_hidden), jnp.float32)
+    m_skip = jnp.zeros(dwskip_ref.shape, jnp.float32)
+    v_skip = jnp.zeros((1, dwskip_ref.shape[1]), jnp.float32)
+    if not last:
+        m_res = jnp.zeros(dwres_ref.shape, jnp.float32)
+        v_res = jnp.zeros((1, dwres_ref.shape[1]), jnp.float32)
     for start, size in _chunk_bounds(t_total, tile):
-        z2, hh2, gy2, lo, hi = ghat2_parts(start, size)
-        ghh2 = gy2 * g2
-        s2a += jnp.sum(ghh2)
-        s2b += jnp.sum(ghh2 * hh2)
-        dg2_ref[...] += jnp.sum(gy2 * hh2, axis=0, keepdims=True)
-        dbe2_ref[...] += jnp.sum(gy2, axis=0, keepdims=True)
-        y2 = (hh2 * g2 + be2_ref[...].astype(jnp.float32)) \
-            .astype(x_ref.dtype)
+        z2, h2, gy2, lo, hi = ghat2_parts(start, size)
+        acc2_gh += jnp.sum(gy2 * h2, axis=0, keepdims=True)
+        acc2_g += jnp.sum(gy2, axis=0, keepdims=True)
+        h2c = h2.astype(x_ref.dtype)
         gsk = gskip_ref[0, lo:hi, :]
-        dwskip_ref[...] += jnp.dot(y2.T, gsk,
-                                   preferred_element_type=jnp.float32)
-        dbskip_ref[...] += jnp.sum(gsk.astype(jnp.float32), axis=0,
-                                   keepdims=True)
+        m_skip += jnp.dot(h2c.T, gsk,
+                          preferred_element_type=jnp.float32)
+        v_skip += jnp.sum(gsk.astype(jnp.float32), axis=0,
+                          keepdims=True)
         if not last:
             gr = gres_ref[0, lo:hi, :]
-            dwres_ref[...] += jnp.dot(y2.T, gr,
-                                      preferred_element_type=jnp.float32)
-            dbres_ref[...] += jnp.sum(gr.astype(jnp.float32), axis=0,
-                                      keepdims=True)
+            m_res += jnp.dot(h2c.T, gr,
+                             preferred_element_type=jnp.float32)
+            v_res += jnp.sum(gr.astype(jnp.float32), axis=0,
+                             keepdims=True)
+    dg2 = rstd2 * (acc2_gh - mean2 * acc2_g)
+    dg2_ref[...] += dg2
+    dbe2_ref[...] += acc2_g
+    s2a = jnp.sum(g2 * acc2_g)
+    s2b = jnp.sum(g2 * dg2)
+    dwskip_ref[...] += hs2.reshape(-1, 1) * m_skip \
+        + cv2.reshape(-1, 1) * v_skip
+    dbskip_ref[...] += v_skip
+    if not last:
+        dwres_ref[...] += hs2.reshape(-1, 1) * m_res \
+            + cv2.reshape(-1, 1) * v_res
+        dbres_ref[...] += v_res
+
+    # gh2 folded to hs2*gy2 + b2s*h2 + c2s (see the scratch variant)
+    b2s = -rstd2 * rstd2 * inv_n * s2b
+    c2s = rstd2 * inv_n * (rstd2 * s2b * mean2 - s2a)
 
     def gz2_span(start, size):
         """g_z2 on [start, start+size), zero outside [0, T)."""
-        z2, hh2, gy2, lo, hi = ghat2_parts(start, size)
-        ghh2 = gy2 * g2
-        gh2 = rstd2 * (ghh2 - (s2a + hh2 * s2b) * inv_n)
+        z2, h2, gy2, lo, hi = ghat2_parts(start, size)
+        gh2 = hs2 * gy2 + b2s * h2 + c2s
         gz2 = jnp.where(z2 >= 0, gh2, a2 * gh2)
         if lo - start or start + size - hi:
             gz2 = jnp.pad(gz2, ((lo - start, start + size - hi), (0, 0)))
         return gz2, gh2, z2, lo, hi
 
-    # ---- pass B2: depthwise backward + gLN1 backward scalars ----
-    s1a = 0.0
-    s1b = 0.0
+    # ---- pass B2: depthwise backward + gLN1 backward accumulators ----
+    acc1_gh = jnp.zeros((1, n_hidden), jnp.float32)
+    acc1_g = jnp.zeros((1, n_hidden), jnp.float32)
     da1_acc = 0.0
     da2_acc = 0.0
+    # dw_dw[j] = sum_t gz2[t]*y1[t+(j-1)d] folded to
+    # hs1*(sum_t gz2[t]*h1[t+(j-1)d]) + cv1*S_j, with S_j the gz2 sum
+    # over rows whose tap stays inside [0, T)
+    dwdw0 = jnp.zeros((1, n_hidden), jnp.float32)
+    dwdw1 = jnp.zeros((1, n_hidden), jnp.float32)
+    dwdw2 = jnp.zeros((1, n_hidden), jnp.float32)
+    dbdw_acc = jnp.zeros((1, n_hidden), jnp.float32)
+    bsum0 = jnp.zeros((1, n_hidden), jnp.float32)
+    bsum2 = jnp.zeros((1, n_hidden), jnp.float32)
     for start, size in _chunk_bounds(t_total, tile):
         gz2_ext, gh2_c, z2_c, _, _ = gz2_span(start - d, size + 2 * d)
         gz2_c = gz2_ext[d:d + size]
         # da2 on the center span only (gh2_c/z2_c cover the clamped
         # ext span; recompute center to keep the bookkeeping simple)
         z2c = z2_span(start, min(start + size, t_total) - start)
-        _, hh2c, gy2c, lo, hi = ghat2_parts(start, size)
-        ghh2c = gy2c * g2
-        gh2c = rstd2 * (ghh2c - (s2a + hh2c * s2b) * inv_n)
+        _, h2c_r, gy2c, lo, hi = ghat2_parts(start, size)
+        gh2c = hs2 * gy2c + b2s * h2c_r + c2s
         da2_acc += jnp.sum(gh2c * jnp.minimum(z2c, 0.0))
-        # dw_dw[j] = sum_t g_z2[t] * y1[t + (j-1)d]
-        y1_ext = y1_span(start - d, size + 2 * d)
-        dwdw_ref[0:1, :] += jnp.sum(gz2_c * y1_ext[:size], axis=0,
-                                    keepdims=True)
-        dwdw_ref[1:2, :] += jnp.sum(gz2_c * y1_ext[d:d + size], axis=0,
-                                    keepdims=True)
-        dwdw_ref[2:3, :] += jnp.sum(gz2_c * y1_ext[2 * d:2 * d + size],
-                                    axis=0, keepdims=True)
-        dbdw_ref[...] += jnp.sum(gz2_c, axis=0, keepdims=True)
+        h1_ext = h1_span(start - d, size + 2 * d)
+        dwdw0 += jnp.sum(gz2_c * h1_ext[:size], axis=0, keepdims=True)
+        dwdw1 += jnp.sum(gz2_c * h1_ext[d:d + size], axis=0,
+                         keepdims=True)
+        dwdw2 += jnp.sum(gz2_c * h1_ext[2 * d:2 * d + size],
+                         axis=0, keepdims=True)
+        dbdw_acc += jnp.sum(gz2_c, axis=0, keepdims=True)
+        # boundary gz2 sums for the S_j corrections (tap 0 reads
+        # outside [0, T) on rows t < d, tap 2 on rows t >= T-d)
+        if start < d:
+            nb = min(size, d - start)
+            bsum0 += jnp.sum(gz2_c[:nb], axis=0, keepdims=True)
+        if start + size > t_total - d:
+            nb = min(size, start + size - (t_total - d))
+            bsum2 += jnp.sum(gz2_c[size - nb:], axis=0, keepdims=True)
         # g_y1[tau] = w0*g_z2[tau+d] + w1*g_z2[tau] + w2*g_z2[tau-d]
         gy1 = (w0 * gz2_ext[2 * d:2 * d + size]
                + w1 * gz2_ext[d:d + size] + w2 * gz2_ext[:size])
@@ -319,12 +389,22 @@ def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
         hi = min(start + size, t_total)
         gy1 = gy1[lo - start:gy1.shape[0] - (start + size - hi)] \
             if (lo - start or start + size - hi) else gy1
-        _, hh1 = hhat1_span(lo, hi)
-        dg1_ref[...] += jnp.sum(gy1 * hh1, axis=0, keepdims=True)
-        dbe1_ref[...] += jnp.sum(gy1, axis=0, keepdims=True)
-        ghh1 = gy1 * g1
-        s1a += jnp.sum(ghh1)
-        s1b += jnp.sum(ghh1 * hh1)
+        _, h1 = h1_parts(lo, hi)
+        acc1_gh += jnp.sum(gy1 * h1, axis=0, keepdims=True)
+        acc1_g += jnp.sum(gy1, axis=0, keepdims=True)
+    dwdw_ref[0:1, :] += hs1 * dwdw0 + cv1 * (dbdw_acc - bsum0)
+    dwdw_ref[1:2, :] += hs1 * dwdw1 + cv1 * dbdw_acc
+    dwdw_ref[2:3, :] += hs1 * dwdw2 + cv1 * (dbdw_acc - bsum2)
+    dbdw_ref[...] += dbdw_acc
+    dg1 = rstd1 * (acc1_gh - mean1 * acc1_g)
+    dg1_ref[...] += dg1
+    dbe1_ref[...] += acc1_g
+    s1a = jnp.sum(g1 * acc1_g)
+    s1b = jnp.sum(g1 * dg1)
+
+    # gh1 folded like gh2
+    b1s = -rstd1 * rstd1 * inv_n * s1b
+    c1s = rstd1 * inv_n * (rstd1 * s1b * mean1 - s1a)
 
     # ---- pass B3: input-side grads ----
     for start, size in _chunk_bounds(t_total, tile):
@@ -334,9 +414,8 @@ def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
         gy1 = (w0 * gz2_ext[2 * d:2 * d + (hi - lo)]
                + w1 * gz2_ext[d:d + (hi - lo)]
                + w2 * gz2_ext[:hi - lo])
-        z1, hh1 = hhat1_span(lo, hi)
-        ghh1 = gy1 * g1
-        gh1 = rstd1 * (ghh1 - (s1a + hh1 * s1b) * inv_n)
+        z1, h1 = h1_parts(lo, hi)
+        gh1 = hs1 * gy1 + b1s * h1 + c1s
         gz1 = jnp.where(z1 >= 0, gh1, a1 * gh1)
         da1_acc += jnp.sum(gh1 * jnp.minimum(z1, 0.0))
         # dW_in in x's dtype: under bf16 amp this is a single-pass MXU
@@ -391,33 +470,58 @@ def _fwd_kernel(x_ref, w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
     g1 = g1_ref[...].astype(jnp.float32)
     be1 = be1_ref[...].astype(jnp.float32)
 
-    def y1_span(start, size):
-        """gLN1 output on [start, start+size); ZERO outside [0, T)
-        (the depthwise conv pads y1 with zeros, so padding comes after
-        normalization).  Ref reads are 8-aligned; see _halo in the
-        backward kernel for why."""
+    def h1_span(start, size):
+        """Raw h1 on [start, start+size); ZERO outside [0, T).  Ref
+        reads are 8-aligned; see _halo in the backward kernel for
+        why."""
         lo = max(start, 0)
         hi = min(start + size, t_total)
         lo_al = lo // 8 * 8
         hi_al = min(_round8(hi), h1s_ref.shape[0])
         h = h1s_ref[lo_al:hi_al, :][lo - lo_al:lo - lo_al + hi - lo]
-        y = (h - mean1) * rstd1 * g1 + be1
         if lo - start or start + size - hi:
-            y = jnp.pad(y, ((lo - start, start + size - hi), (0, 0)))
-        return y
+            h = jnp.pad(h, ((lo - start, start + size - hi), (0, 0)))
+        return h
 
     w0 = w_dw_ref[0:1, :].astype(jnp.float32)
     w1 = w_dw_ref[1:2, :].astype(jnp.float32)
     w2 = w_dw_ref[2:3, :].astype(jnp.float32)
     b_dw = b_dw_ref[...].astype(jnp.float32)
 
+    # fold the gLN1 affine into the depthwise taps: with
+    # y1 = hs1*h1 + cv1 (hs1 = g1*rstd1, cv1 = be1 - mean1*hs1),
+    #   z2 = sum_k w_k*y1[.+(k-1)d] + b_dw
+    #      = sum_k (w_k*hs1)*h1[.+(k-1)d] + C,   C = b_dw + sum_k w_k*cv1
+    # minus w_k*cv1 on rows where tap k reads outside [0, T): y1 is
+    # ZERO there (padding comes after normalization), not affine(0).
+    # Saves the per-span normalize (the spans overlap ~3x per element).
+    hs1 = g1 * rstd1
+    cv1 = be1 - mean1 * hs1
+    w0f = w0 * hs1
+    w1f = w1 * hs1
+    w2f = w2 * hs1
+    c0 = w0 * cv1
+    c2 = w2 * cv1
+    c_all = b_dw + c0 + w1 * cv1 + c2
+
     # ---- pass B: depthwise -> h2, scratch + gLN2 statistics
     s2 = 0.0
     q2 = 0.0
     for start, size in _chunk_bounds(t_total, tile):
-        ext = y1_span(start - d, size + 2 * d)
-        z = (ext[:size] * w0 + ext[d:d + size] * w1
-             + ext[2 * d:2 * d + size] * w2 + b_dw)
+        ext = h1_span(start - d, size + 2 * d)
+        z = (ext[:size] * w0f + ext[d:d + size] * w1f
+             + ext[2 * d:2 * d + size] * w2f + c_all)
+        # boundary chunks: remove the folded constant of out-of-range
+        # taps (tap 0 reads y1[t-d]=0 for t < d; tap 2 reads
+        # y1[t+d]=0 for t >= T-d)
+        if start < d:
+            n0 = min(size, d - start)
+            z = z - jnp.pad(jnp.broadcast_to(c0, (n0, z.shape[1])),
+                            ((0, size - n0), (0, 0)))
+        if start + size > t_total - d:
+            n2 = min(size, start + size - (t_total - d))
+            z = z - jnp.pad(jnp.broadcast_to(c2, (n2, z.shape[1])),
+                            ((size - n2, 0), (0, 0)))
         h = jnp.where(z >= 0, z, a2 * z)
         z2s_ref[start:start + size, :] = h
         s2 += jnp.sum(h)
@@ -430,14 +534,32 @@ def _fwd_kernel(x_ref, w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
     be2 = be2_ref[...].astype(jnp.float32)
     out_dtype = res_ref.dtype
 
+    # fold the gLN2 affine into the output matmuls: with
+    # y2 = hs2*h2 + cv2,
+    #   y2 @ W + b = h2 @ (hs2^T * W) + (cv2 @ W + b)
+    # so pass C reads the h2 scratch directly (one cast per element
+    # instead of the full normalize) against per-row pre-scaled
+    # weights and a folded bias row.
+    hs2 = g2 * rstd2
+    cv2 = be2 - mean2 * hs2
+    w_skip_raw = w_skip_ref[...].astype(jnp.float32)
+    w_skip_f = (w_skip_raw * hs2.reshape(-1, 1)).astype(out_dtype)
+    bias_skip = (jnp.dot(cv2, w_skip_raw,
+                         preferred_element_type=jnp.float32)
+                 + b_skip_ref[...].astype(jnp.float32))
+    if not last:
+        w_res_raw = w_res_ref[...].astype(jnp.float32)
+        w_res_f = (w_res_raw * hs2.reshape(-1, 1)).astype(out_dtype)
+        bias_res = (jnp.dot(cv2, w_res_raw,
+                            preferred_element_type=jnp.float32)
+                    + b_res_ref[...].astype(jnp.float32))
+
     # ---- pass C: outputs
     for start, size in _chunk_bounds(t_total, tile):
-        y2 = ((z2s_ref[start:start + size, :] - mean2) * rstd2 * g2
-              + be2).astype(out_dtype)
+        h2 = z2s_ref[start:start + size, :].astype(out_dtype)
         skip_ref[0, start:start + size, :] = (
-            jnp.dot(y2, w_skip_ref[...],
-                    preferred_element_type=jnp.float32)
-            + b_skip_ref[...].astype(jnp.float32)
+            jnp.dot(h2, w_skip_f, preferred_element_type=jnp.float32)
+            + bias_skip
         ).astype(out_dtype)
         if last:
             res_ref[0, start:start + size, :] = jnp.zeros(
@@ -445,9 +567,9 @@ def _fwd_kernel(x_ref, w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
         else:
             res_ref[0, start:start + size, :] = (
                 x_ref[0, start:start + size, :].astype(jnp.float32)
-                + jnp.dot(y2, w_res_ref[...],
+                + jnp.dot(h2, w_res_f,
                           preferred_element_type=jnp.float32)
-                + b_res_ref[...].astype(jnp.float32)
+                + bias_res
             ).astype(out_dtype)
 
     b = pl.program_id(0)
@@ -585,29 +707,61 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
             v = jnp.pad(v, ((lo - start, start + size - hi), (0, 0)))
         return v
 
-    # ---- pass R: recompute z1 -> y1 -> z2 into scratch
+    # folded gLN affines (see the forward kernel): y1 = hs1*h1 + cv1,
+    # y2 = hs2*h2 + cv2 — every elementwise pass below works on the
+    # RAW h1/h2/z with the affine folded into taps, weights and
+    # per-row scalars (exact algebra in f32; halves the VPU work that
+    # runs serialized with the MXU inside the kernel)
+    hs1 = g1 * rstd1
+    cv1 = be1 - mean1 * hs1
+    w0f = w0 * hs1
+    w1f = w1 * hs1
+    w2f = w2 * hs1
+    c0 = w0 * cv1
+    c2 = w2 * cv1
+    c_all = b_dw + c0 + w1 * cv1 + c2
+    hs2 = g2 * rstd2
+    cv2 = be2_ref[...].astype(jnp.float32) - mean2 * hs2
+
+    # ---- pass R: recompute z1 -> h1 -> z2 into scratch (y1s holds
+    # RAW h1; the gLN1 affine is folded into the z2 taps)
     for start, size in _chunk_bounds(t_total, tile):
         z1 = jnp.dot(x_ref[0, start:start + size, :], w_in_ref[...],
                      preferred_element_type=jnp.float32)
         z1 = z1 + b_in_ref[...].astype(jnp.float32)
         z1s_ref[start:start + size, :] = z1
-        h1 = jnp.where(z1 >= 0, z1, a1 * z1)
         y1s_ref[start:start + size, :] = \
-            (h1 - mean1) * rstd1 * g1 + be1
+            jnp.where(z1 >= 0, z1, a1 * z1)
     for start, size in _chunk_bounds(t_total, tile):
         ext = _halo(y1s_ref, start - d, size + 2 * d)
-        z2s_ref[start:start + size, :] = (
-            ext[:size] * w0 + ext[d:d + size] * w1
-            + ext[2 * d:2 * d + size] * w2 + b_dw)
+        z2 = (ext[:size] * w0f + ext[d:d + size] * w1f
+              + ext[2 * d:2 * d + size] * w2f + c_all)
+        # out-of-range taps read y1 = 0 (not affine(0)): remove their
+        # folded constant on the boundary rows
+        if start < d:
+            n0 = min(size, d - start)
+            z2 = z2 - jnp.pad(jnp.broadcast_to(c0, (n0, z2.shape[1])),
+                              ((0, size - n0), (0, 0)))
+        if start + size > t_total - d:
+            n2 = min(size, start + size - (t_total - d))
+            z2 = z2 - jnp.pad(jnp.broadcast_to(c2, (n2, z2.shape[1])),
+                              ((size - n2, 0), (0, 0)))
+        z2s_ref[start:start + size, :] = z2
 
-    # ---- pass B1: gLN2 backward scalars + output-side param grads;
-    # gy2 is stashed in gz2s (overwritten with g_z2 in pass B2)
-    s2a = 0.0
-    s2b = 0.0
+    # ---- pass B1: gy2 -> gz2s stash + channel accumulators; the gLN2
+    # backward reductions (dg2/dbe2/s2a/s2b) and the output-side dW
+    # corrections are recovered from the accumulators AFTER the loop:
+    #   dW = sum_t y2^T g = hs2^T*(sum_t h2^T g) + cv2^T*(sum_t g)
+    acc2_gh = jnp.zeros((1, n_hidden), jnp.float32)
+    acc2_g = jnp.zeros((1, n_hidden), jnp.float32)
+    m_skip = jnp.zeros(dwskip_ref.shape, jnp.float32)
+    v_skip = jnp.zeros((1, dwskip_ref.shape[1]), jnp.float32)
+    if not last:
+        m_res = jnp.zeros(dwres_ref.shape, jnp.float32)
+        v_res = jnp.zeros((1, dwres_ref.shape[1]), jnp.float32)
     for start, size in _chunk_bounds(t_total, tile):
         z2 = z2s_ref[start:start + size, :]
         h2 = jnp.where(z2 >= 0, z2, a2 * z2)
-        hh2 = (h2 - mean2) * rstd2
         gy2 = jnp.dot(gskip_ref[0, start:start + size, :],
                       w_skip_ref[...].T,
                       preferred_element_type=jnp.float32)
@@ -616,51 +770,75 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
                                 w_res_ref[...].T,
                                 preferred_element_type=jnp.float32)
         gz2s_ref[start:start + size, :] = gy2
-        ghh2 = gy2 * g2
-        s2a += jnp.sum(ghh2)
-        s2b += jnp.sum(ghh2 * hh2)
-        dg2_ref[...] += jnp.sum(gy2 * hh2, axis=0, keepdims=True)
-        dbe2_ref[...] += jnp.sum(gy2, axis=0, keepdims=True)
-        y2 = (hh2 * g2 + be2_ref[...].astype(jnp.float32)) \
-            .astype(x_ref.dtype)
+        acc2_gh += jnp.sum(gy2 * h2, axis=0, keepdims=True)
+        acc2_g += jnp.sum(gy2, axis=0, keepdims=True)
+        h2c = h2.astype(x_ref.dtype)
         gsk = gskip_ref[0, start:start + size, :]
-        dwskip_ref[...] += jnp.dot(y2.T, gsk,
-                                   preferred_element_type=jnp.float32)
-        dbskip_ref[...] += jnp.sum(gsk.astype(jnp.float32), axis=0,
-                                   keepdims=True)
+        m_skip += jnp.dot(h2c.T, gsk,
+                          preferred_element_type=jnp.float32)
+        v_skip += jnp.sum(gsk.astype(jnp.float32), axis=0,
+                          keepdims=True)
         if not last:
             gr = gres_ref[0, start:start + size, :]
-            dwres_ref[...] += jnp.dot(y2.T, gr,
-                                      preferred_element_type=jnp.float32)
-            dbres_ref[...] += jnp.sum(gr.astype(jnp.float32), axis=0,
-                                      keepdims=True)
+            m_res += jnp.dot(h2c.T, gr,
+                             preferred_element_type=jnp.float32)
+            v_res += jnp.sum(gr.astype(jnp.float32), axis=0,
+                             keepdims=True)
+    dg2 = rstd2 * (acc2_gh - mean2 * acc2_g)
+    dg2_ref[...] += dg2
+    dbe2_ref[...] += acc2_g
+    s2a = jnp.sum(g2 * acc2_g)
+    s2b = jnp.sum(g2 * dg2)
+    dwskip_ref[...] += hs2.reshape(-1, 1) * m_skip \
+        + cv2.reshape(-1, 1) * v_skip
+    dbskip_ref[...] += v_skip
+    if not last:
+        dwres_ref[...] += hs2.reshape(-1, 1) * m_res \
+            + cv2.reshape(-1, 1) * v_res
+        dbres_ref[...] += v_res
+
+    # gh2 = rstd2*(gy2*g2 - (s2a + hh2*s2b)*inv_n) folded to
+    # hs2*gy2 + b2s*h2 + c2s (hh2 = (h2 - mean2)*rstd2)
+    b2s = -rstd2 * rstd2 * inv_n * s2b
+    c2s = rstd2 * inv_n * (rstd2 * s2b * mean2 - s2a)
 
     # ---- pass B2: g_z2 (overwrites gy2 in gz2s) + depthwise grads
     da2_acc = 0.0
     # accumulate dw_dw locally (sub-tile row-slice stores into the
-    # (3, H) output block are not 8-aligned, which Mosaic rejects)
+    # (3, H) output block are not 8-aligned, which Mosaic rejects);
+    # taps read RAW h1: dw_dw[j] = sum_t gz2[t]*y1[t+(j-1)d]
+    #   = hs1*(sum_t gz2[t]*h1[t+(j-1)d]) + cv1*S_j
+    # with S_j the sum of gz2 over rows whose tap stays inside [0, T)
     dwdw0 = jnp.zeros((1, n_hidden), jnp.float32)
     dwdw1 = jnp.zeros((1, n_hidden), jnp.float32)
     dwdw2 = jnp.zeros((1, n_hidden), jnp.float32)
+    dbdw_acc = jnp.zeros((1, n_hidden), jnp.float32)
     for start, size in _chunk_bounds(t_total, tile):
         z2 = z2s_ref[start:start + size, :]
         h2 = jnp.where(z2 >= 0, z2, a2 * z2)
-        hh2 = (h2 - mean2) * rstd2
         gy2 = gz2s_ref[start:start + size, :]
-        ghh2 = gy2 * g2
-        gh2 = rstd2 * (ghh2 - (s2a + hh2 * s2b) * inv_n)
+        gh2 = hs2 * gy2 + b2s * h2 + c2s
         da2_acc += jnp.sum(gh2 * jnp.minimum(z2, 0.0))
         gz2 = jnp.where(z2 >= 0, gh2, a2 * gh2)
         gz2s_ref[start:start + size, :] = gz2
-        # dw_dw[j] = sum_t g_z2[t] * y1[t + (j-1)d]
-        y1_ext = _halo(y1s_ref, start - d, size + 2 * d)
-        dwdw0 += jnp.sum(gz2 * y1_ext[:size], axis=0, keepdims=True)
-        dwdw1 += jnp.sum(gz2 * y1_ext[d:d + size], axis=0,
+        h1_ext = _halo(y1s_ref, start - d, size + 2 * d)
+        dwdw0 += jnp.sum(gz2 * h1_ext[:size], axis=0, keepdims=True)
+        dwdw1 += jnp.sum(gz2 * h1_ext[d:d + size], axis=0,
                          keepdims=True)
-        dwdw2 += jnp.sum(gz2 * y1_ext[2 * d:2 * d + size], axis=0,
+        dwdw2 += jnp.sum(gz2 * h1_ext[2 * d:2 * d + size], axis=0,
                          keepdims=True)
-        dbdw_ref[...] += jnp.sum(gz2, axis=0, keepdims=True)
-    dwdw_ref[...] += jnp.concatenate([dwdw0, dwdw1, dwdw2], axis=0)
+        dbdw_acc += jnp.sum(gz2, axis=0, keepdims=True)
+    # boundary sums: tap 0 reads outside [0, T) on rows t < d, tap 2
+    # on rows t >= T-d
+    b0 = jnp.sum(_halo(gz2s_ref, 0, d), axis=0, keepdims=True)
+    b2 = jnp.sum(_halo(gz2s_ref, t_total - d, d), axis=0,
+                 keepdims=True)
+    dwdw_ref[...] += jnp.concatenate([
+        hs1 * dwdw0 + cv1 * (dbdw_acc - b0),
+        hs1 * dwdw1 + cv1 * dbdw_acc,
+        hs1 * dwdw2 + cv1 * (dbdw_acc - b2),
+    ], axis=0)
+    dbdw_ref[...] += dbdw_acc
 
     def gy1_span(start, size):
         """g_y1[tau] = w0 g_z2[tau+d] + w1 g_z2[tau] + w2 g_z2[tau-d]."""
@@ -668,29 +846,34 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
         return (w0 * ext[2 * d:2 * d + size] + w1 * ext[d:d + size]
                 + w2 * ext[:size])
 
-    # ---- pass B3a: gLN1 backward scalars
-    s1a = 0.0
-    s1b = 0.0
+    # ---- pass B3a: gLN1 backward channel accumulators; gy1 is
+    # stashed in z2s (z2 is dead after pass B2) so B3b reads it back
+    # instead of recomputing the 3-tap span
+    acc1_gh = jnp.zeros((1, n_hidden), jnp.float32)
+    acc1_g = jnp.zeros((1, n_hidden), jnp.float32)
     for start, size in _chunk_bounds(t_total, tile):
         gy1 = gy1_span(start, size)
-        z1 = z1s_ref[start:start + size, :]
-        h1 = jnp.where(z1 >= 0, z1, a1 * z1)
-        hh1 = (h1 - mean1) * rstd1
-        dg1_ref[...] += jnp.sum(gy1 * hh1, axis=0, keepdims=True)
-        dbe1_ref[...] += jnp.sum(gy1, axis=0, keepdims=True)
-        ghh1 = gy1 * g1
-        s1a += jnp.sum(ghh1)
-        s1b += jnp.sum(ghh1 * hh1)
+        z2s_ref[start:start + size, :] = gy1
+        h1 = y1s_ref[start:start + size, :]
+        acc1_gh += jnp.sum(gy1 * h1, axis=0, keepdims=True)
+        acc1_g += jnp.sum(gy1, axis=0, keepdims=True)
+    dg1 = rstd1 * (acc1_gh - mean1 * acc1_g)
+    dg1_ref[...] += dg1
+    dbe1_ref[...] += acc1_g
+    s1a = jnp.sum(g1 * acc1_g)
+    s1b = jnp.sum(g1 * dg1)
+
+    # gh1 folded like gh2
+    b1s = -rstd1 * rstd1 * inv_n * s1b
+    c1s = rstd1 * inv_n * (rstd1 * s1b * mean1 - s1a)
 
     # ---- pass B3b: input-side grads
     da1_acc = 0.0
     for start, size in _chunk_bounds(t_total, tile):
-        gy1 = gy1_span(start, size)
+        gy1 = z2s_ref[start:start + size, :]
         z1 = z1s_ref[start:start + size, :]
-        h1 = jnp.where(z1 >= 0, z1, a1 * z1)
-        hh1 = (h1 - mean1) * rstd1
-        ghh1 = gy1 * g1
-        gh1 = rstd1 * (ghh1 - (s1a + hh1 * s1b) * inv_n)
+        h1 = y1s_ref[start:start + size, :]
+        gh1 = hs1 * gy1 + b1s * h1 + c1s
         gz1 = jnp.where(z1 >= 0, gh1, a1 * gh1)
         da1_acc += jnp.sum(gh1 * jnp.minimum(z1, 0.0))
         # dW_in in x's dtype: single-pass MXU matmul under bf16 amp
