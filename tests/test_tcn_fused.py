@@ -50,24 +50,28 @@ def test_fused_last_block():
                                atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize('last', [False, True])
 @pytest.mark.parametrize('dilation', [4, 8])
-def test_fused_gradients_match_reference(dilation):
+def test_fused_gradients_match_reference(dilation, last):
     """custom_vjp backward must agree with differentiating the jnp
     twin directly (same math; fused fwd feeds the same cotangents).
     d=4 exercises the recompute backward variant, d=8 the scratch-row
-    variant (the production path for 8-aligned dilations)."""
+    variant (the production path for 8-aligned dilations); last=True
+    pins the final block's skip-only gradient path."""
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 192, 64).astype('float32'))
     params = _params(rng, 64, 96, 64)
 
     def loss_fused(x, params):
-        res, skip = tcn.tcn_block_fused(x, params, dilation, False,
+        res, skip = tcn.tcn_block_fused(x, params, dilation, last,
                                         tile=64, interpret=True)
-        return (res ** 2).mean() + (skip ** 2).sum()
+        loss = (skip ** 2).sum()
+        return loss if last else loss + (res ** 2).mean()
 
     def loss_ref(x, params):
-        res, skip = tcn.tcn_block_reference(x, params, dilation, False)
-        return (res ** 2).mean() + (skip ** 2).sum()
+        res, skip = tcn.tcn_block_reference(x, params, dilation, last)
+        loss = (skip ** 2).sum()
+        return loss if last else loss + (res ** 2).mean()
 
     gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
     gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
