@@ -173,6 +173,49 @@ def _cost(batch, t, c_in, hidden, c_res, c_skip, forward):
 
 
 # ---------------------------------------------------------------------------
+# folded-affine helpers shared by the forward and both backward
+# kernels.  With y = hs*h + cv (hs = g*rstd, cv = be - mean*hs) the
+# gLN affine folds into taps / weights / per-row scalars — exact
+# algebra in f32, and every op saved is wall-clock (the VPU work runs
+# serialized with the MXU inside a Pallas kernel).
+
+def _tap_fold(w0, w1, w2, b_dw, hs1, cv1):
+    """Fold y1 = hs1*h1 + cv1 into the k=3 depthwise taps.
+
+    Returns (w0f, w1f, w2f, c0, c2, c_all): z2 over RAW h1 is
+    sum_k ext[kd:kd+size]*wkf + c_all, minus c0/c2 on rows where
+    tap 0/2 reads the zero padding (y1 is ZERO outside [0, T) —
+    padding comes after normalization — not affine(0))."""
+    return (w0 * hs1, w1 * hs1, w2 * hs1, w0 * cv1, w2 * cv1,
+            b_dw + (w0 + w1 + w2) * cv1)
+
+
+def _folded_taps_apply(ext, start, size, d, t_total, taps):
+    """Boundary-corrected 3-tap combine of a RAW-h1 halo span ``ext``
+    (zero outside [0, T)); [start, start+size) must lie in [0, T)."""
+    w0f, w1f, w2f, c0, c2, c_all = taps
+    z2 = (ext[:size] * w0f + ext[d:d + size] * w1f
+          + ext[2 * d:2 * d + size] * w2f + c_all)
+    if start < d:            # tap 0 reads y1[t-d] = 0 for t < d
+        n0 = min(size, d - start)
+        z2 = z2 - jnp.pad(jnp.broadcast_to(c0, (n0, z2.shape[1])),
+                          ((0, size - n0), (0, 0)))
+    if start + size > t_total - d:   # tap 2: y1[t+d] = 0 for t >= T-d
+        n2 = min(size, start + size - (t_total - d))
+        z2 = z2 - jnp.pad(jnp.broadcast_to(c2, (n2, z2.shape[1])),
+                          ((size - n2, 0), (0, 0)))
+    return z2
+
+
+def _gh_fold(rstd, mean, s_a, s_b, inv_n):
+    """gh = rstd*(g*gy - (s_a + hh*s_b)*inv_n) with hh = (h-mean)*rstd
+    folded to hs*gy + b_s*h + c_s; returns (b_s, c_s)."""
+    b_s = -rstd * rstd * inv_n * s_b
+    c_s = rstd * inv_n * (rstd * s_b * mean - s_a)
+    return b_s, c_s
+
+
+# ---------------------------------------------------------------------------
 # recompute-variant BACKWARD kernel (no scratch rows).  Used for
 # dilations that are not multiples of 8: scratch-based taps then need
 # sublane-misaligned slices which Mosaic materializes as rotated
@@ -229,17 +272,12 @@ def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
         dwskip_ref[...] = jnp.zeros_like(dwskip_ref)
         dbskip_ref[...] = jnp.zeros_like(dbskip_ref)
 
-    # folded gLN affines (see the forward kernel): y1 = hs1*h1 + cv1,
+    # folded gLN affines (see the module docstring): y1 = hs1*h1 + cv1,
     # y2 = hs2*h2 + cv2 — recompute spans stay on RAW h1/h2 with the
     # affines folded into taps, weights and per-row scalars
     hs1 = g1 * rstd1
     cv1 = be1 - mean1 * hs1
-    w0f = w0 * hs1
-    w1f = w1 * hs1
-    w2f = w2 * hs1
-    c0 = w0 * cv1
-    c2 = w2 * cv1
-    c_all = b_dw + c0 + w1 * cv1 + c2
+    taps = _tap_fold(w0, w1, w2, b_dw, hs1, cv1)
     hs2 = g2 * rstd2
     cv2 = be2_ref[...].astype(jnp.float32) - mean2 * hs2
 
@@ -266,19 +304,7 @@ def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
     def z2_span(start, size):
         """z2 on [start, start+size), which must lie inside [0, T)."""
         ext = h1_span(start - d, size + 2 * d)
-        z2 = (ext[:size] * w0f + ext[d:d + size] * w1f
-              + ext[2 * d:2 * d + size] * w2f + c_all)
-        # out-of-range taps read y1 = 0 (not affine(0)): remove their
-        # folded constant on the boundary rows
-        if start < d:
-            n0 = min(size, d - start)
-            z2 = z2 - jnp.pad(jnp.broadcast_to(c0, (n0, z2.shape[1])),
-                              ((0, size - n0), (0, 0)))
-        if start + size > t_total - d:
-            n2 = min(size, start + size - (t_total - d))
-            z2 = z2 - jnp.pad(jnp.broadcast_to(c2, (n2, z2.shape[1])),
-                              ((size - n2, 0), (0, 0)))
-        return z2
+        return _folded_taps_apply(ext, start, size, d, t_total, taps)
 
     def ghat2_parts(start, size):
         """(z2, RAW h2, g_y2) on [start, start+size) clamped."""
@@ -332,8 +358,7 @@ def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
         dbres_ref[...] += v_res
 
     # gh2 folded to hs2*gy2 + b2s*h2 + c2s (see the scratch variant)
-    b2s = -rstd2 * rstd2 * inv_n * s2b
-    c2s = rstd2 * inv_n * (rstd2 * s2b * mean2 - s2a)
+    b2s, c2s = _gh_fold(rstd2, mean2, s2a, s2b, inv_n)
 
     def gz2_span(start, size):
         """g_z2 on [start, start+size), zero outside [0, T)."""
@@ -363,8 +388,7 @@ def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
         gz2_c = gz2_ext[d:d + size]
         # da2 on the center span only (gh2_c/z2_c cover the clamped
         # ext span; recompute center to keep the bookkeeping simple)
-        z2c = z2_span(start, min(start + size, t_total) - start)
-        _, h2c_r, gy2c, lo, hi = ghat2_parts(start, size)
+        z2c, h2c_r, gy2c, lo, hi = ghat2_parts(start, size)
         gh2c = hs2 * gy2c + b2s * h2c_r + c2s
         da2_acc += jnp.sum(gh2c * jnp.minimum(z2c, 0.0))
         h1_ext = h1_span(start - d, size + 2 * d)
@@ -403,8 +427,7 @@ def _bwd_kernel_rc(x_ref, gres_ref, gskip_ref, stats_ref,
     s1b = jnp.sum(g1 * dg1)
 
     # gh1 folded like gh2
-    b1s = -rstd1 * rstd1 * inv_n * s1b
-    c1s = rstd1 * inv_n * (rstd1 * s1b * mean1 - s1a)
+    b1s, c1s = _gh_fold(rstd1, mean1, s1a, s1b, inv_n)
 
     # ---- pass B3: input-side grads ----
     for start, size in _chunk_bounds(t_total, tile):
@@ -488,40 +511,17 @@ def _fwd_kernel(x_ref, w_in_ref, b_in_ref, a_ref, g1_ref, be1_ref,
     w2 = w_dw_ref[2:3, :].astype(jnp.float32)
     b_dw = b_dw_ref[...].astype(jnp.float32)
 
-    # fold the gLN1 affine into the depthwise taps: with
-    # y1 = hs1*h1 + cv1 (hs1 = g1*rstd1, cv1 = be1 - mean1*hs1),
-    #   z2 = sum_k w_k*y1[.+(k-1)d] + b_dw
-    #      = sum_k (w_k*hs1)*h1[.+(k-1)d] + C,   C = b_dw + sum_k w_k*cv1
-    # minus w_k*cv1 on rows where tap k reads outside [0, T): y1 is
-    # ZERO there (padding comes after normalization), not affine(0).
-    # Saves the per-span normalize (the spans overlap ~3x per element).
+    # fold the gLN1 affine into the depthwise taps (_tap_fold); saves
+    # the per-span normalize (the spans overlap ~3x per element)
     hs1 = g1 * rstd1
-    cv1 = be1 - mean1 * hs1
-    w0f = w0 * hs1
-    w1f = w1 * hs1
-    w2f = w2 * hs1
-    c0 = w0 * cv1
-    c2 = w2 * cv1
-    c_all = b_dw + c0 + w1 * cv1 + c2
+    taps = _tap_fold(w0, w1, w2, b_dw, hs1, be1 - mean1 * hs1)
 
     # ---- pass B: depthwise -> h2, scratch + gLN2 statistics
     s2 = 0.0
     q2 = 0.0
     for start, size in _chunk_bounds(t_total, tile):
         ext = h1_span(start - d, size + 2 * d)
-        z = (ext[:size] * w0f + ext[d:d + size] * w1f
-             + ext[2 * d:2 * d + size] * w2f + c_all)
-        # boundary chunks: remove the folded constant of out-of-range
-        # taps (tap 0 reads y1[t-d]=0 for t < d; tap 2 reads
-        # y1[t+d]=0 for t >= T-d)
-        if start < d:
-            n0 = min(size, d - start)
-            z = z - jnp.pad(jnp.broadcast_to(c0, (n0, z.shape[1])),
-                            ((0, size - n0), (0, 0)))
-        if start + size > t_total - d:
-            n2 = min(size, start + size - (t_total - d))
-            z = z - jnp.pad(jnp.broadcast_to(c2, (n2, z.shape[1])),
-                            ((size - n2, 0), (0, 0)))
+        z = _folded_taps_apply(ext, start, size, d, t_total, taps)
         h = jnp.where(z >= 0, z, a2 * z)
         z2s_ref[start:start + size, :] = h
         s2 += jnp.sum(h)
@@ -643,7 +643,7 @@ def _fwd_pallas(x, params, dilation, last, tile, interpret=False):
 
 # ---------------------------------------------------------------------------
 # backward kernel.  Forward saved only the four gLN scalars per row;
-# z1, y1 (with dilation halo zeros) and z2 are recomputed once into
+# z1, RAW h1 and z2 (via the folded taps) are recomputed once into
 # scratch, then three gradient passes run entirely from VMEM.
 
 def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
@@ -653,7 +653,7 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
                 dx_ref, dwin_ref, dbin_ref, da_ref, dg1_ref, dbe1_ref,
                 dwdw_ref, dbdw_ref, dg2_ref, dbe2_ref,
                 dwres_ref, dbres_ref, dwskip_ref, dbskip_ref,
-                z1s_ref, y1s_ref, z2s_ref, gz2s_ref,
+                z1s_ref, h1s_ref, z2s_ref, gz2s_ref,
                 *, dilation, last, tile):
     t_total = x_ref.shape[1]
     d = dilation
@@ -707,46 +707,30 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
             v = jnp.pad(v, ((lo - start, start + size - hi), (0, 0)))
         return v
 
-    # folded gLN affines (see the forward kernel): y1 = hs1*h1 + cv1,
+    # folded gLN affines (see the module docstring): y1 = hs1*h1 + cv1,
     # y2 = hs2*h2 + cv2 — every elementwise pass below works on the
     # RAW h1/h2/z with the affine folded into taps, weights and
     # per-row scalars (exact algebra in f32; halves the VPU work that
     # runs serialized with the MXU inside the kernel)
     hs1 = g1 * rstd1
     cv1 = be1 - mean1 * hs1
-    w0f = w0 * hs1
-    w1f = w1 * hs1
-    w2f = w2 * hs1
-    c0 = w0 * cv1
-    c2 = w2 * cv1
-    c_all = b_dw + c0 + w1 * cv1 + c2
+    taps = _tap_fold(w0, w1, w2, b_dw, hs1, cv1)
     hs2 = g2 * rstd2
     cv2 = be2_ref[...].astype(jnp.float32) - mean2 * hs2
 
-    # ---- pass R: recompute z1 -> h1 -> z2 into scratch (y1s holds
+    # ---- pass R: recompute z1 -> h1 -> z2 into scratch (h1s holds
     # RAW h1; the gLN1 affine is folded into the z2 taps)
     for start, size in _chunk_bounds(t_total, tile):
         z1 = jnp.dot(x_ref[0, start:start + size, :], w_in_ref[...],
                      preferred_element_type=jnp.float32)
         z1 = z1 + b_in_ref[...].astype(jnp.float32)
         z1s_ref[start:start + size, :] = z1
-        y1s_ref[start:start + size, :] = \
+        h1s_ref[start:start + size, :] = \
             jnp.where(z1 >= 0, z1, a1 * z1)
     for start, size in _chunk_bounds(t_total, tile):
-        ext = _halo(y1s_ref, start - d, size + 2 * d)
-        z2 = (ext[:size] * w0f + ext[d:d + size] * w1f
-              + ext[2 * d:2 * d + size] * w2f + c_all)
-        # out-of-range taps read y1 = 0 (not affine(0)): remove their
-        # folded constant on the boundary rows
-        if start < d:
-            n0 = min(size, d - start)
-            z2 = z2 - jnp.pad(jnp.broadcast_to(c0, (n0, z2.shape[1])),
-                              ((0, size - n0), (0, 0)))
-        if start + size > t_total - d:
-            n2 = min(size, start + size - (t_total - d))
-            z2 = z2 - jnp.pad(jnp.broadcast_to(c2, (n2, z2.shape[1])),
-                              ((size - n2, 0), (0, 0)))
-        z2s_ref[start:start + size, :] = z2
+        ext = _halo(h1s_ref, start - d, size + 2 * d)
+        z2s_ref[start:start + size, :] = _folded_taps_apply(
+            ext, start, size, d, t_total, taps)
 
     # ---- pass B1: gy2 -> gz2s stash + channel accumulators; the gLN2
     # backward reductions (dg2/dbe2/s2a/s2b) and the output-side dW
@@ -799,8 +783,7 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
 
     # gh2 = rstd2*(gy2*g2 - (s2a + hh2*s2b)*inv_n) folded to
     # hs2*gy2 + b2s*h2 + c2s (hh2 = (h2 - mean2)*rstd2)
-    b2s = -rstd2 * rstd2 * inv_n * s2b
-    c2s = rstd2 * inv_n * (rstd2 * s2b * mean2 - s2a)
+    b2s, c2s = _gh_fold(rstd2, mean2, s2a, s2b, inv_n)
 
     # ---- pass B2: g_z2 (overwrites gy2 in gz2s) + depthwise grads
     da2_acc = 0.0
@@ -821,7 +804,7 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
         da2_acc += jnp.sum(gh2 * jnp.minimum(z2, 0.0))
         gz2 = jnp.where(z2 >= 0, gh2, a2 * gh2)
         gz2s_ref[start:start + size, :] = gz2
-        h1_ext = _halo(y1s_ref, start - d, size + 2 * d)
+        h1_ext = _halo(h1s_ref, start - d, size + 2 * d)
         dwdw0 += jnp.sum(gz2 * h1_ext[:size], axis=0, keepdims=True)
         dwdw1 += jnp.sum(gz2 * h1_ext[d:d + size], axis=0,
                          keepdims=True)
@@ -854,7 +837,7 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
     for start, size in _chunk_bounds(t_total, tile):
         gy1 = gy1_span(start, size)
         z2s_ref[start:start + size, :] = gy1
-        h1 = y1s_ref[start:start + size, :]
+        h1 = h1s_ref[start:start + size, :]
         acc1_gh += jnp.sum(gy1 * h1, axis=0, keepdims=True)
         acc1_g += jnp.sum(gy1, axis=0, keepdims=True)
     dg1 = rstd1 * (acc1_gh - mean1 * acc1_g)
@@ -864,15 +847,14 @@ def _bwd_kernel(x_ref, gres_ref, gskip_ref, stats_ref,
     s1b = jnp.sum(g1 * dg1)
 
     # gh1 folded like gh2
-    b1s = -rstd1 * rstd1 * inv_n * s1b
-    c1s = rstd1 * inv_n * (rstd1 * s1b * mean1 - s1a)
+    b1s, c1s = _gh_fold(rstd1, mean1, s1a, s1b, inv_n)
 
     # ---- pass B3b: input-side grads
     da1_acc = 0.0
     for start, size in _chunk_bounds(t_total, tile):
         gy1 = z2s_ref[start:start + size, :]
         z1 = z1s_ref[start:start + size, :]
-        h1 = y1s_ref[start:start + size, :]
+        h1 = h1s_ref[start:start + size, :]
         gh1 = hs1 * gy1 + b1s * h1 + c1s
         gz1 = jnp.where(z1 >= 0, gh1, a1 * gh1)
         da1_acc += jnp.sum(gh1 * jnp.minimum(z1, 0.0))
@@ -971,8 +953,8 @@ def _bwd_pallas(x, params, stats, g_res, g_skip, dilation, last, tile,
         ],
         scratch_shapes=[
             pltpu.VMEM((_round8(t_total), n_hidden), f32),   # z1
-            pltpu.VMEM((_round8(t_total), n_hidden), f32),   # y1
-            pltpu.VMEM((_round8(t_total), n_hidden), f32),   # z2 (=h2)
+            pltpu.VMEM((_round8(t_total), n_hidden), f32),   # RAW h1
+            pltpu.VMEM((_round8(t_total), n_hidden), f32),   # z2, gy1
             pltpu.VMEM((_round8(t_total), n_hidden), f32),   # gy2/gz2
         ] if aligned else [],
         interpret=interpret,

@@ -22,9 +22,14 @@ def _params(rng, c, h, cs):
             arr(h, c), arr(c), arr(h, cs), arr(cs))
 
 
-@pytest.mark.parametrize('dilation', [1, 4, 64])
+@pytest.mark.parametrize('dilation', [1, 4, 64, 250, 600])
 @pytest.mark.parametrize('t_total', [512, 520])
 def test_fused_forward_matches_reference(dilation, t_total):
+    """d=250 exercises a boundary region spanning multiple chunks
+    (d ~ tile), d=600 the d >= T regime where every row's outer taps
+    read the zero padding (short clips reach this in production: the
+    dilation sweep tops out at 128 but MAX_FUSED_T gating admits any
+    T, so keep the correction algebra pinned in the extremes)."""
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, t_total, 128).astype('float32'))
     params = _params(rng, 128, 256, 128)
@@ -51,13 +56,16 @@ def test_fused_last_block():
 
 
 @pytest.mark.parametrize('last', [False, True])
-@pytest.mark.parametrize('dilation', [4, 8])
+@pytest.mark.parametrize('dilation', [4, 8, 96, 250])
 def test_fused_gradients_match_reference(dilation, last):
     """custom_vjp backward must agree with differentiating the jnp
     twin directly (same math; fused fwd feeds the same cotangents).
     d=4 exercises the recompute backward variant, d=8 the scratch-row
     variant (the production path for 8-aligned dilations); last=True
-    pins the final block's skip-only gradient path."""
+    pins the final block's skip-only gradient path.  d=96 (scratch)
+    spans multiple chunks with its boundary region (d > tile=64);
+    d=250 (recompute) is the d >= T regime where the outer taps read
+    only zero padding."""
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 192, 64).astype('float32'))
     params = _params(rng, 64, 96, 64)
