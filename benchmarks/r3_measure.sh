@@ -30,26 +30,26 @@ run() {
 
 run bench_headline_1 env BENCH_ARCHS=convtasnet python bench.py
 run bench_headline_2 env BENCH_ARCHS=convtasnet python bench.py
-run tfgridnet_scan python benchmarks/bench_models.py tfgridnet
-run tfgridnet_inline env BENCH_TFGRIDNET_INLINE=1 \
-    python benchmarks/bench_models.py tfgridnet
 # flash-LSTM Pallas scan (VERDICT r2 #2): parity is interpreter-pinned,
 # step time is the open question — this is the first hardware timing
 run tfgridnet_flash env BREVER_FUSED_LSTM=1 \
     python benchmarks/bench_models.py tfgridnet
-run tfgridnet_flash_inline env BREVER_FUSED_LSTM=1 BENCH_TFGRIDNET_INLINE=1 \
-    python benchmarks/bench_models.py tfgridnet
+# flash-TCN time-tile sweep: larger tiles = fewer chunk-loop
+# boundaries per VMEM pass (VERDICT r2 #3: close convtasnet toward its
+# 20-25 ms matmul floor)
+run convtasnet_tile4096 env BREVER_TCN_TILE=4096 \
+    python benchmarks/bench_models.py convtasnet
 run sgmsepm python benchmarks/bench_models.py sgmsepm
 run dccrn python benchmarks/bench_models.py dccrn
 run manner python benchmarks/bench_models.py manner
 run metricganokd python benchmarks/bench_models.py metricganokd
+run tfgridnet_flash_inline env BREVER_FUSED_LSTM=1 BENCH_TFGRIDNET_INLINE=1 \
+    python benchmarks/bench_models.py tfgridnet
+run tfgridnet_scan python benchmarks/bench_models.py tfgridnet
+run tfgridnet_inline env BENCH_TFGRIDNET_INLINE=1 \
+    python benchmarks/bench_models.py tfgridnet
 run ffnn python benchmarks/bench_models.py ffnn
-# flash-TCN time-tile sweep: larger tiles = fewer chunk-loop
-# boundaries per VMEM pass (VERDICT r2 #3: close convtasnet toward its
-# 20-25 ms matmul floor)
 run convtasnet_tile2048 env BREVER_TCN_TILE=2048 \
-    python benchmarks/bench_models.py convtasnet
-run convtasnet_tile4096 env BREVER_TCN_TILE=4096 \
     python benchmarks/bench_models.py convtasnet
 run convtasnet_tile512 env BREVER_TCN_TILE=512 \
     python benchmarks/bench_models.py convtasnet
