@@ -176,6 +176,7 @@ def main():
         results.update(sub)
         with open(detail_path, 'w') as f:
             json.dump(results, f, indent=2)
+            f.write('\n')
         if results and not printed:
             emit()
             printed = True

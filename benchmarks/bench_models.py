@@ -101,14 +101,15 @@ def bench_arch(arch, n_steps=N_STEPS, use_bf16=USE_BF16, arch_kwargs=None):
     if arch == 'tfgridnet':
         # batch 4 in bf16 fits without grid-block remat; skipping the
         # recompute saves HBM traffic on this bandwidth-bound model
-        # (measured 152 -> 137 ms/step). BENCH_TFGRIDNET_INLINE=1
-        # additionally A/Bs the inlined-blocks operating point
-        # (scan_blocks=False: more scheduling freedom, n_layers x the
-        # compile time).
+        # (measured 152 -> 137 ms/step). Inlined blocks are the bench
+        # default: with the fused LSTM scan they measured 73.1 ms vs
+        # 106.2 ms scanned (r3_measure.log) — the cross-block
+        # scheduling freedom is worth the n_layers x compile (90.5 s).
+        # BENCH_TFGRIDNET_SCAN=1 A/Bs the compile-budget scan point.
         import dataclasses
         model.module = dataclasses.replace(
             model.module, remat=False,
-            scan_blocks=not os.environ.get('BENCH_TFGRIDNET_INLINE'))
+            scan_blocks=bool(os.environ.get('BENCH_TFGRIDNET_SCAN')))
     if arch in ('sgmsepm', 'sgmsep', 'idmse'):
         # same trade for the diffusion U-Net (427 -> 390 ms/step at
         # batch 4 bf16)

@@ -5,12 +5,14 @@
 #
 #   bash benchmarks/r3_measure.sh [log_path]
 #
-# Experiments, in priority order:
-#   1. driver-view bench.py (headline must land inside ~600 s) — twice
-#   2. per-arch step/compile after the round-3 changes:
-#      convtasnet (scan-over-repeats), tfgridnet (scan + flash-LSTM),
-#      sgmsepm (fused GroupNorm+SiLU), dccrn / manner / metricganokd
-#   3. tfgridnet inlined-blocks A/B (BENCH_TFGRIDNET_INLINE=1)
+# Experiments, in priority order (round-3 final ordering):
+#   1. driver-view bench.py headline, twice (must land inside ~600 s)
+#   2. tfgridnet flash-LSTM and the convtasnet tile-4096 point — the
+#      two highest-value unknowns
+#   3. per-arch sweep (sgmsepm / dccrn / manner / metricganokd), the
+#      tfgridnet flash+inline / scan / inline A/B, ffnn
+#   4. remaining tile points (2048/512) + per-kernel micro-benches
+#   5. metric twins, device-resident GAN scoring, inference/streaming
 
 set -u
 cd "$(dirname "$0")/.."

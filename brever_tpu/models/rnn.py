@@ -150,10 +150,12 @@ def _use_fused_scan(gates_x, w_hh):
     kernel's matmuls would idle 3/4 of the MXU there, so the fused
     path is all cost.
 
-    Default OFF until the kernel is timed on hardware: flip with
-    BREVER_FUSED_LSTM=1 (parity is already pinned by the
-    interpreter-mode tests; the open question is step time)."""
-    if os.environ.get('BREVER_FUSED_LSTM', '0') != '1':
+    Default ON where the kernel applies: measured on v5e hardware
+    (benchmarks/r3_measure.log round 3) it takes tfgridnet from
+    131.7 to 106.2 ms/step (scan blocks) and 99.6 to 73.1 ms/step
+    (inline blocks); parity is pinned by the interpreter-mode tests
+    (tests/test_lstm_fused.py). BREVER_FUSED_LSTM=0 opts out."""
+    if os.environ.get('BREVER_FUSED_LSTM', '1') != '1':
         return False
     from ..ops.pallas.lstm_scan import lstm_pallas_available
     n_hidden = w_hh.shape[-2]

@@ -10,6 +10,7 @@ learned gain/bias parameters.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -214,6 +215,11 @@ def group_norm_silu(x, scale, bias, num_groups, eps=1e-6,
         raise ValueError(f'channels {c} not divisible by {num_groups} groups')
     has_ext = ext_scale is not None
     f = _make_gn_silu(num_groups, float(eps), bool(apply_silu), has_ext)
+    # BREVER_FUSED_GN=0: A/B hook — same f32 math through plain
+    # autodiff (the SiLU/affine stash the custom VJP exists to avoid),
+    # so the memory-lean backward can be isolated on hardware.
+    if os.environ.get('BREVER_FUSED_GN', '1') != '1':
+        f = f.__wrapped__
     x3 = x.reshape(b, -1, c)
     if has_ext:
         ext_scale = ext_scale.reshape(b, c)

@@ -88,8 +88,12 @@ FORCE_INTERPRET = False
 #: default time-chunk length of the VMEM passes. Larger tiles unroll
 #: fewer chunks per pass (faster Mosaic compiles, fewer loop
 #: boundaries); smaller tiles shrink live temporaries. Overridable for
-#: experiments via BREVER_TCN_TILE.
-DEFAULT_TILE = int(os.environ.get('BREVER_TCN_TILE', '1024'))
+#: experiments via BREVER_TCN_TILE. Round-3 hardware sweep (v5e,
+#: batch 16 x 4 s, benchmarks/r3_measure.log): 2048 -> 44.9 ms/step at
+#: 179 s compile; 4096 -> 44.6 ms but 524 s compile; 1024 -> 47.2-47.7
+#: ms at 340-560 s; 512 -> 49.0 ms at 659 s. 2048 is the best
+#: step-time x compile-budget point.
+DEFAULT_TILE = int(os.environ.get('BREVER_TCN_TILE', '2048'))
 
 
 def pallas_tcn_available():
