@@ -29,10 +29,13 @@ DEFAULT_ARCHS = ['convtasnet', 'dccrn', 'ffnn', 'tfgridnet', 'manner',
 def _time(fn, *args, n=10):
     out = fn(*args)
     jax.block_until_ready(out)          # compile + warmup
+    # block EVERY iteration: that is the latency a serving system
+    # pays, and it defeats dispatch-only timing (round 3 measured a
+    # physically impossible 0.2 ms for batch-8 convtasnet when only
+    # the last of 10 async dispatches was awaited on the axon backend)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        jax.block_until_ready(fn(*args))
     return (time.perf_counter() - t0) / n
 
 
@@ -64,7 +67,7 @@ def bench_streaming(chunk_ms=64):
     n = 50
     for _ in range(n):
         state, out = enhancer.step(state, x)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)            # per-chunk latency
     dt = (time.perf_counter() - t0) / n
     budget = chunk / FS
     print(f'convtasnet-causal streaming: {chunk / FS * 1e3:.0f} ms '
@@ -88,7 +91,7 @@ def bench_streaming_dccrn(chunk_ms=64):
     n = 50
     for _ in range(n):
         state, out = se.step(state, x)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)            # per-chunk latency
     dt = (time.perf_counter() - t0) / n
     budget = chunk / FS
     print(f'dccrn streaming: {chunk / FS * 1e3:.0f} ms chunks in '
