@@ -1,6 +1,8 @@
 """Metric contracts: batched vs unbatched parity, sanity ordering
 (clean > noisy), lengths handling (reference tests/test_metrics.py)."""
 
+import warnings
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -54,6 +56,35 @@ def test_stoi_batched_matches_per_item(metric):
     for i, n in enumerate(lengths):
         single = metric(noisy[i, :n], clean[i, :n], batched=False)
         np.testing.assert_allclose(batched[i], single, rtol=1e-6)
+
+
+@pytest.mark.parametrize('extended', [False, True])
+def test_stoi_vectorized_matches_per_item(extended):
+    """stoi_batch_vectorized == stoi_single per item (rtol 1e-6).
+
+    Covers ragged lengths, a silence-heavy item (exercises the
+    silent-frame compaction), and a too-short-to-frame item (NaN).
+    """
+    from brever_tpu.stoi import stoi_batch_vectorized, stoi_single
+
+    rng = np.random.RandomState(7)
+    max_len = 16000 * 2
+    lengths = [max_len, max_len - 1000, 16000 + 4096, 100]
+    clean = np.stack([_speech_like(i, max_len) for i in range(4)])
+    clean[2, 8000:24000] *= 1e-6          # long near-silent stretch
+    noisy = clean + 0.3 * rng.randn(*clean.shape).astype('float32')
+    for i, n in enumerate(lengths):
+        clean[i, n:] = 0
+        noisy[i, n:] = 0
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore')
+        batched = stoi_batch_vectorized(
+            noisy, clean, 16000, extended, lengths=lengths)
+        for i, n in enumerate(lengths[:3]):
+            single = stoi_single(noisy[i, :n], clean[i, :n],
+                                 16000, extended)
+            np.testing.assert_allclose(batched[i], single, rtol=1e-6)
+    assert np.isnan(batched[3])   # too short to frame -> NaN
 
 
 @pytest.mark.parametrize('metric_name', ['snr', 'sisnr'])
