@@ -15,6 +15,9 @@ scoring metric-by-metric with incremental prints.
 BENCH_METRICS_HOST_ITEMS caps how many batch items the (serial, 1-core)
 host path scores — per-item cost is what matters and is printed; the
 parity check uses the same subset.
+BENCH_METRICS_KEYS selects which metrics run (comma list of
+estoi/stoi/pesq; default all) so each device-twin compile — 700+ s
+each over the tunnel — can get its own runbook timeout budget.
 """
 
 import os
@@ -56,6 +59,9 @@ def main():
         'stoi': lambda: dev.stoi_device(deg_d, ref_d, lengths=len_d),
         'pesq': lambda: dev.pesq_device(deg_d, ref_d, lengths=len_d),
     }
+    keys = [k.strip() for k in os.environ.get(
+        'BENCH_METRICS_KEYS', ','.join(dev_fns)).split(',') if k.strip()]
+    dev_fns = {k: dev_fns[k] for k in keys}
     dev_vals, dev_times = {}, {}
     for name, fn in dev_fns.items():
         t0 = time.perf_counter()
@@ -84,6 +90,7 @@ def main():
         'stoi': lambda: host.stoi(deg[:k], ref[:k], lengths=lens_k),
         'pesq': lambda: host.pesq(deg[:k], ref[:k], lengths=lens_k),
     }
+    host_fns = {k: host_fns[k] for k in keys}
     for name, fn in host_fns.items():
         t0 = time.perf_counter()
         hv = np.asarray(fn())
