@@ -47,6 +47,18 @@ are explicit):
 ``pesq_batch`` mirrors the reference's vendored lengths-aware batched
 orchestration (multiprocessing Pool, reference brever/metrics.py:
 153-213).
+
+Provenance surfacing: neither the canonical ``pesq`` wheel nor the ITU
+reference C sources exist anywhere in this environment, so a measured
+|dMOS| bound cannot be produced here and hand-recalling the 49-entry
+band/threshold tables would be unverifiable (a wrong entry silently
+shifts MOS while *claiming* table-exactness — worse than the honest
+analytic approximation). Instead the approximation is surfaced at every
+boundary: the metric registers under both ``pesq`` (reference CLI
+compatibility) and ``pesq_approx``; ``scores.hdf5`` written by
+``scripts/test_model.py`` carries a ``pesq_implementation`` root attr;
+and ``scripts/check_pesq_parity.py`` is ready to record the bound on
+any host where canonical pesq installs.
 """
 
 import multiprocessing

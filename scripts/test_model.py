@@ -115,6 +115,15 @@ def test_model(args, model, variables, cfg, test_path, score_file,
         delta = (scores[:, i_metric, 1] - scores[:, i_metric, 0]).mean()
         logging.info(f'{metric}: {delta:.2e}')
 
+    write_scores(score_file, h5path, scores, metrics)
+
+
+def write_scores(score_file, h5path, scores, metrics):
+    """Write one (mixtures, metrics, input/output) block to scores.hdf5
+    with labeled dimension scales (reference scripts/test_model.py
+    score-file contract)."""
+    import h5py
+
     mode = 'a' if os.path.exists(score_file) else 'w'
     with h5py.File(score_file, mode) as h5file:
         if 'metrics' not in h5file:
@@ -130,6 +139,15 @@ def test_model(args, model, variables, cfg, test_path, score_file,
         dset.dims[2].label = 'which'
         dset.dims[1].attach_scale(h5file['metrics'])
         dset.dims[2].attach_scale(h5file['which'])
+        # Surface metric provenance: 'pesq' here is the from-scratch
+        # P.862 implementation (brever_tpu/pesq.py), not the ITU C
+        # library the reference scores with (ref brever/metrics.py:47-99
+        # via the pesq wheel) — no measured |dMOS| bound vs canonical
+        # exists in this environment, so scores carry the label.
+        if any(m.startswith('pesq') for m in metrics):
+            h5file.attrs['pesq_implementation'] = (
+                'brever_tpu.pesq (from-scratch P.862 approximation; '
+                'not the canonical ITU-T C library)')
 
 
 def main():

@@ -337,3 +337,27 @@ def test_check_sanity_script(project):
             sys.argv = argv
     finally:
         os.chdir(cwd)
+
+
+def test_write_scores_pesq_provenance(tmp_path):
+    """scores.hdf5 written with a pesq metric carries the
+    pesq_implementation provenance attr (the in-repo P.862 is a
+    from-scratch approximation, not the ITU C library the reference
+    scores with)."""
+    import h5py
+
+    write = _load_script('test_model').write_scores
+    f = str(tmp_path / 'scores.hdf5')
+    scores = np.zeros((3, 2, 2))
+
+    write(f, 'last.ckpt/testset', scores, ['snr', 'sisnr'])
+    with h5py.File(f) as h5f:
+        assert 'pesq_implementation' not in h5f.attrs
+
+    f2 = str(tmp_path / 'scores_pesq.hdf5')
+    write(f2, 'last.ckpt/testset', scores, ['pesq', 'estoi'])
+    with h5py.File(f2) as h5f:
+        assert 'approximation' in h5f.attrs['pesq_implementation']
+        assert list(h5f['metrics'].asstr()) == ['pesq', 'estoi']
+        dset = h5f['last.ckpt/testset']
+        assert dset.dims[1].label == 'metric'
