@@ -29,4 +29,11 @@ run metrics_device_pesq env BENCH_METRICS_KEYS=pesq \
 run metrics_device_estoi_host env BENCH_METRICS_KEYS=estoi \
     python benchmarks/bench_metrics.py 16 4
 run bench_headline_3 env BENCH_ARCHS=convtasnet python bench.py
+# where do sgmsepm's 251 GB/step go, per the TPU compiler's own
+# accounting (drives the round-4 skip/GN byte work)
+run sgmse_hlo_census python benchmarks/hlo_census.py sgmsepm 14
+# isolate the r3 fused GroupNorm+SiLU (403.4 vs 389.4 ms was measured
+# across rounds, never A/B'd in isolation — VERDICT r3 task 4)
+run sgmsepm_fused_gn_off env BREVER_FUSED_GN=0 \
+    python benchmarks/bench_models.py sgmsepm
 echo "R4B ALL DONE $(date -u)" >> "$LOG"
