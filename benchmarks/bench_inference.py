@@ -17,6 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from brever_tpu.models import ModelRegistry  # noqa: E402
@@ -29,13 +30,18 @@ DEFAULT_ARCHS = ['convtasnet', 'dccrn', 'ffnn', 'tfgridnet', 'manner',
 def _time(fn, *args, n=10):
     out = fn(*args)
     jax.block_until_ready(out)          # compile + warmup
-    # block EVERY iteration: that is the latency a serving system
-    # pays, and it defeats dispatch-only timing (round 3 measured a
-    # physically impossible 0.2 ms for batch-8 convtasnet when only
-    # the last of 10 async dispatches was awaited on the axon backend)
+    # fence EVERY iteration with a scalar d2h fetch: that is the
+    # latency a serving system pays before it can use the result.
+    # block_until_ready alone is NOT a reliable fence on the axon
+    # backend: round 3 measured 0.2 ms batch-8 convtasnet with an
+    # end-of-loop block, round 4 still measured 0.3 ms with a
+    # per-iteration block (vs the ~30 ms tunnel round-trip floor every
+    # other arch shows) — the ready-wait can complete without a device
+    # round trip. A scalar fetch cannot. The fetch itself costs one
+    # RTT; it is part of the serving latency being measured.
     t0 = time.perf_counter()
     for _ in range(n):
-        jax.block_until_ready(fn(*args))
+        float(jnp.sum(fn(*args)))
     return (time.perf_counter() - t0) / n
 
 
@@ -67,7 +73,7 @@ def bench_streaming(chunk_ms=64):
     n = 50
     for _ in range(n):
         state, out = enhancer.step(state, x)
-        jax.block_until_ready(out)            # per-chunk latency
+        float(jnp.sum(out))                   # true per-chunk fence
     dt = (time.perf_counter() - t0) / n
     budget = chunk / FS
     print(f'convtasnet-causal streaming: {chunk / FS * 1e3:.0f} ms '
@@ -91,7 +97,7 @@ def bench_streaming_dccrn(chunk_ms=64):
     n = 50
     for _ in range(n):
         state, out = se.step(state, x)
-        jax.block_until_ready(out)            # per-chunk latency
+        float(jnp.sum(out))                   # true per-chunk fence
     dt = (time.perf_counter() - t0) / n
     budget = chunk / FS
     print(f'dccrn streaming: {chunk / FS * 1e3:.0f} ms chunks in '

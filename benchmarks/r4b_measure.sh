@@ -36,4 +36,8 @@ run sgmse_hlo_census python benchmarks/hlo_census.py sgmsepm 14
 # across rounds, never A/B'd in isolation — VERDICT r3 task 4)
 run sgmsepm_fused_gn_off env BREVER_FUSED_GN=0 \
     python benchmarks/bench_models.py sgmsepm
+# re-measure inference with the scalar-fetch fence (block_until_ready
+# proved not to fence on this backend: convtasnet read 0.3 ms vs the
+# ~30 ms RTT floor of every other arch)
+run inference_scalar_fence python benchmarks/bench_inference.py
 echo "R4B ALL DONE $(date -u)" >> "$LOG"
