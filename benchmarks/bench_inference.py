@@ -27,6 +27,9 @@ DEFAULT_ARCHS = ['convtasnet', 'dccrn', 'ffnn', 'tfgridnet', 'manner',
                  'metricganokd']
 
 
+_FENCE = jax.jit(lambda y: jnp.sum(y))
+
+
 def _time(fn, *args, n=10):
     out = fn(*args)
     jax.block_until_ready(out)          # compile + warmup
@@ -38,10 +41,16 @@ def _time(fn, *args, n=10):
     # per-iteration block (vs the ~30 ms tunnel round-trip floor every
     # other arch shows) — the ready-wait can complete without a device
     # round trip. A scalar fetch cannot. The fetch itself costs one
-    # RTT; it is part of the serving latency being measured.
+    # RTT; it is part of the serving latency being measured. The fence
+    # reduction is pre-jitted and warmed OUTSIDE the loop: an eager
+    # jnp.sum compiles one tiny program per new output shape, and on
+    # the tunneled backend that mid-loop compile costs seconds (the
+    # first scalar-fence run read 11.7 s/call for convtasnet batch 1 —
+    # one ~2 min sum compile averaged over 10 iterations).
+    float(_FENCE(out))                  # warm the fence for this shape
     t0 = time.perf_counter()
     for _ in range(n):
-        float(jnp.sum(fn(*args)))
+        float(_FENCE(fn(*args)))
     return (time.perf_counter() - t0) / n
 
 
@@ -68,12 +77,12 @@ def bench_streaming(chunk_ms=64):
     state = enhancer.init_state(batch_size=1)
     x = np.random.RandomState(0).randn(1, chunk).astype('float32')
     state, out = enhancer.step(state, x)      # compile + warmup
-    jax.block_until_ready(out)
+    float(_FENCE(out))                        # warm the fence too
     t0 = time.perf_counter()
     n = 50
     for _ in range(n):
         state, out = enhancer.step(state, x)
-        float(jnp.sum(out))                   # true per-chunk fence
+        float(_FENCE(out))                    # true per-chunk fence
     dt = (time.perf_counter() - t0) / n
     budget = chunk / FS
     print(f'convtasnet-causal streaming: {chunk / FS * 1e3:.0f} ms '
@@ -92,12 +101,12 @@ def bench_streaming_dccrn(chunk_ms=64):
     state = se.init_state(batch_size=1)
     x = np.random.RandomState(0).randn(1, chunk).astype('float32')
     state, out = se.step(state, x)
-    jax.block_until_ready(out)
+    float(_FENCE(out))                        # warm the fence too
     t0 = time.perf_counter()
     n = 50
     for _ in range(n):
         state, out = se.step(state, x)
-        float(jnp.sum(out))                   # true per-chunk fence
+        float(_FENCE(out))                    # true per-chunk fence
     dt = (time.perf_counter() - t0) / n
     budget = chunk / FS
     print(f'dccrn streaming: {chunk / FS * 1e3:.0f} ms chunks in '

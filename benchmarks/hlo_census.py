@@ -30,13 +30,48 @@ DT_BYTES = {'f32': 4, 'bf16': 2, 'f64': 8, 's32': 4, 'pred': 1,
 _INSTR = re.compile(
     r'^\s*(?:ROOT\s+)?%?([\w.-]+) = ([a-z0-9]+)\[([\d,]*)\]'
     r'[^=]*? ([\w-]+)\(')
+_COMP = re.compile(r'^(?:ENTRY )?%?([\w.-]+) \(.*\{\s*$')
+_META = re.compile(r'op_name="([^"]*)"')
+# computations whose instructions are NOT HBM-materialized: fusion
+# bodies, XLA's single-op wrappers, and reduce/scatter/sort lambda
+# bodies. Everything else (ENTRY, while bodies, called computations)
+# writes its instruction outputs to real buffers.
+_VIRTUAL = ('fused_computation', 'wrapped_', 'region_')
+
+
+def _group(op_name):
+    """Collapse an op_name path to an attributable module path: strip
+    the jit wrapper, drop the trailing primitive, merge block indices
+    (enc_3_1 -> enc_#_#) and autodiff wrappers."""
+    if not op_name:
+        return '(no metadata)'
+    parts = op_name.split('/')
+    if parts and parts[0].startswith('jit('):
+        parts = parts[1:]
+    bwd = any('transpose(' in p for p in parts)
+    parts = [p for p in parts
+             if not re.fullmatch(r'(transpose\()?j?vp\(.*\)+', p)]
+    if len(parts) > 1:
+        parts = parts[:-1]                      # drop the primitive
+    parts = [re.sub(r'\d+', '#', p) for p in parts]
+    path = '/'.join(parts[-4:])
+    return ('bwd ' if bwd else 'fwd ') + path
 
 
 def census(txt, top_n=12):
     by_op = collections.Counter()
     n_op = collections.Counter()
+    by_src = collections.Counter()
+    n_src = collections.Counter()
     biggest = []
+    material = True
     for line in txt.splitlines():
+        mc = _COMP.match(line)
+        if mc:
+            material = not mc.group(1).startswith(_VIRTUAL)
+            continue
+        if not material:
+            continue
         m = _INSTR.match(line)
         if not m:
             continue
@@ -50,10 +85,20 @@ def census(txt, top_n=12):
         b = n * DT_BYTES[dt]
         by_op[f'{op}:{dt}'] += b
         n_op[f'{op}:{dt}'] += 1
-        biggest.append((b, f'{op} {dt}[{shape}] {name}'))
-    print('# output-buffer bytes by op:dtype')
+        mm = _META.search(line)
+        src = _group(mm.group(1) if mm else '')
+        by_src[src] += b
+        n_src[src] += 1
+        biggest.append((b, f'{op} {dt}[{shape}] {name} <- {src}'))
+    total = sum(by_op.values())
+    print(f'# materialized output-buffer bytes (HBM writes): '
+          f'{total / 1e9:.1f} GB')
+    print('# by op:dtype')
     for k, b in by_op.most_common(top_n):
         print(f'{k:28s} {b / 1e9:9.3f} GB  x{n_op[k]}', flush=True)
+    print('# by source module (op_name metadata)')
+    for k, b in by_src.most_common(top_n * 2):
+        print(f'{b / 1e9:9.3f} GB  x{n_src[k]:<5d} {k[:90]}', flush=True)
     print('# largest single instructions')
     biggest.sort(reverse=True)
     seen = set()
@@ -63,7 +108,7 @@ def census(txt, top_n=12):
         if key in seen:
             continue
         seen.add(key)
-        print(f'{b / 1e6:9.1f} MB  {desc[:110]}', flush=True)
+        print(f'{b / 1e6:9.1f} MB  {desc[:150]}', flush=True)
         shown += 1
         if shown >= top_n:
             break
