@@ -11,6 +11,7 @@ matching ``conv_transpose2d(stride=2, padding=(K-1)//2)`` semantics.
 """
 
 import math
+import os
 
 import jax.lax as lax
 import jax.numpy as jnp
@@ -20,6 +21,49 @@ def _fir_kernel_2d(fir_kernel):
     k = np.asarray(fir_kernel, dtype=np.float32)
     k2 = np.outer(k, k)
     return k2 / k2.sum()
+
+
+def _depthwise_mode():
+    """How the depthwise FIR conv is expressed.
+
+    ``fold``: channels folded into the batch axis, plain C=1 conv —
+    grouped convs lower terribly on XLA-CPU, but the fold costs a
+    full-tensor transpose copy on each side of every resample.
+    ``group``: native ``feature_group_count=C`` conv in the tensor's
+    own NHWC layout — no copies; XLA-TPU lowers grouped convs
+    directly. Default: ``group`` on TPU, ``fold`` elsewhere.
+    """
+    mode = os.environ.get('BREVER_RESAMPLE_MODE')
+    if mode in ('fold', 'group'):
+        return mode
+    import jax
+    return 'group' if jax.default_backend() != 'cpu' else 'fold'
+
+
+def _depthwise_conv(x, kernel2d, *, strides, padding, lhs_dilation,
+                    c_axis):
+    """Depthwise conv with the same 2-D FIR kernel per channel."""
+    if _depthwise_mode() == 'group':
+        if c_axis == 1:  # NCHW
+            dn = ('NCHW', 'HWIO', 'NCHW')
+            c = x.shape[1]
+        else:
+            dn = ('NHWC', 'HWIO', 'NHWC')
+            c = x.shape[3]
+        kernel = jnp.broadcast_to(
+            jnp.asarray(kernel2d, x.dtype)[:, :, None, None],
+            kernel2d.shape + (1, c))
+        return lax.conv_general_dilated(
+            x, kernel, window_strides=strides, padding=padding,
+            lhs_dilation=lhs_dilation, dimension_numbers=dn,
+            feature_group_count=c), None
+    folded, spec = _fold_channels(x, c_axis)
+    kernel = jnp.asarray(kernel2d, x.dtype)[:, :, None, None]
+    out = lax.conv_general_dilated(
+        folded, kernel, window_strides=strides, padding=padding,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return out, spec
 
 
 def _layout(data_format):
@@ -66,16 +110,12 @@ def downsample_2d(x, fir_kernel, return_padding=False,
         else math.ceil((ksize + 1) / 2) - 1
         for dim in dims
     )
-    folded, spec = _fold_channels(x, c_axis)
-    kernel = jnp.asarray(kernel2d, x.dtype)[:, :, None, None]
-    out = lax.conv_general_dilated(
-        folded,
-        kernel,
-        window_strides=(2, 2),
-        padding=[(p, p) for p in padding],
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-    )
-    out = _unfold_channels(out, spec)
+    out, spec = _depthwise_conv(
+        x, kernel2d, strides=(2, 2),
+        padding=[(p, p) for p in padding], lhs_dilation=None,
+        c_axis=c_axis)
+    if spec is not None:
+        out = _unfold_channels(out, spec)
     if return_padding:
         output_padding = tuple(
             0 if (dim + 2 * p - ksize) % 2 == 0 else 1
@@ -109,17 +149,10 @@ def upsample_2d(x, fir_kernel, padding=None, data_format='NCHW'):
     conv_padding = [
         (ksize - 1 - p, ksize - 1 - p + op) for p, op in zip(pad, out_pad)
     ]
-    folded, spec = _fold_channels(x, c_axis)
-    kernel = jnp.asarray(kernel2d, x.dtype)[:, :, None, None]
-    out = lax.conv_general_dilated(
-        folded,
-        kernel,
-        window_strides=(1, 1),
-        padding=conv_padding,
-        lhs_dilation=(2, 2),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-    )
-    return _unfold_channels(out, spec)
+    out, spec = _depthwise_conv(
+        x, kernel2d, strides=(1, 1), padding=conv_padding,
+        lhs_dilation=(2, 2), c_axis=c_axis)
+    return _unfold_channels(out, spec) if spec is not None else out
 
 
 class Resampler:
