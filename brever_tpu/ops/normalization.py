@@ -214,13 +214,27 @@ def group_norm_silu(x, scale, bias, num_groups, eps=1e-6,
     if c % num_groups:
         raise ValueError(f'channels {c} not divisible by {num_groups} groups')
     has_ext = ext_scale is not None
+    x3 = x.reshape(b, -1, c)
+    # flash-GN: both directions as Pallas kernels (HBM traffic = the
+    # tensors themselves; the jnp custom VJP still materializes shared
+    # f32 intermediates — 102 GB/step of sgmsepm's HLO census).
+    # BREVER_GN_PALLAS: '0' forces the jnp path, '1' forces the kernel
+    # (interpreter off-TPU via the module's FORCE_INTERPRET test hook).
+    from .pallas.groupnorm import gn_pallas_available, gn_silu_pallas
+    flag = os.environ.get('BREVER_GN_PALLAS', 'auto')
+    use_pallas = (not has_ext and c % 128 == 0
+                  and jnp.issubdtype(x.dtype, jnp.floating)
+                  and (gn_pallas_available() if flag == 'auto'
+                       else flag == '1'))
+    if use_pallas and os.environ.get('BREVER_FUSED_GN', '1') == '1':
+        return gn_silu_pallas(
+            x3, scale, bias, num_groups, eps, apply_silu).reshape(shape)
     f = _make_gn_silu(num_groups, float(eps), bool(apply_silu), has_ext)
     # BREVER_FUSED_GN=0: A/B hook — same f32 math through plain
     # autodiff (the SiLU/affine stash the custom VJP exists to avoid),
     # so the memory-lean backward can be isolated on hardware.
     if os.environ.get('BREVER_FUSED_GN', '1') != '1':
         f = f.__wrapped__
-    x3 = x.reshape(b, -1, c)
     if has_ext:
         ext_scale = ext_scale.reshape(b, c)
         ext_shift = ext_shift.reshape(b, c)

@@ -1,0 +1,358 @@
+"""Fused GroupNorm(+SiLU) as a streaming Pallas TPU kernel (flash-GN).
+
+Accelerator for :func:`brever_tpu.ops.normalization.group_norm_silu`
+(consumers: the diffusion U-Net's ~60 GroupNorm+SiLU pairs, reference
+brever/models/sgmse/net.py).  The jnp custom-VJP twin already avoids
+the SiLU pre-activation stash, but XLA still materializes the shared
+f32 intermediates: the round-4 HLO census of one sgmsepm train step
+attributed **102 GB of the 165 GB of HBM writes** to `norm_*` scopes —
+full ``f32[4, 256, 501, 384]`` buffers for ``xhat``/``dxhat``, each
+consumed by two reductions plus the elementwise pass, so XLA cannot
+fuse them away (multi-consumer intermediates are materialized).
+
+The kernel streams ``(chunk, C)`` blocks through VMEM with a two-phase
+grid per batch row — phase 0 accumulates per-channel sums, phase 1
+applies the folded affine — so HBM traffic is exactly the tensors
+themselves at their own dtype:
+
+  forward:  read x twice, write y once            (3 bf16 passes)
+  backward: read x+dy twice, write dx once        (5 bf16 passes)
+
+versus the observed ~6-10 f32-equivalent passes under XLA.  All
+arithmetic is f32 inside VMEM (statistics match ``nn.GroupNorm``'s
+fast-variance form); per-group reductions/broadcasts are expressed as
+tiny segment matmuls (``(1, C) @ (C, G)``) so no lane-dim reshapes are
+needed.  Parameter gradients accumulate in f32 across the sequential
+batch grid into a revisited output block (same pattern as the flash-TCN
+``dW`` accumulation).
+
+Supports the ``has_ext=False`` configurations (the NCSN default used by
+every registered sgmse arch); the ADM external-affine path falls back
+to the jnp twin.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _PALLAS_OK = True
+except ImportError:  # pragma: no cover
+    _PALLAS_OK = False
+
+#: scoped VMEM ceiling (v5e cores have 128 MB physical)
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+#: target byte size of one streamed (chunk, C) block
+_CHUNK_BYTES = 1024 * 1024
+
+# test hook: route through the Pallas interpreter on CPU
+FORCE_INTERPRET = False
+
+
+def gn_pallas_available():
+    if FORCE_INTERPRET:
+        return _PALLAS_OK
+    return _PALLAS_OK and jax.default_backend() in ('tpu',)
+
+
+def _pick_chunk(n_rows, n_chan, itemsize):
+    chunk = _CHUNK_BYTES // (n_chan * itemsize)
+    chunk = max(8, min(-(-n_rows // 8) * 8, -(-chunk // 8) * 8))
+    return chunk
+
+
+def _segments(n_chan, n_groups):
+    """(C, G) 0/1 segment matrix: column g marks the channels of group
+    g.  ``sums @ seg`` reduces channels to groups; ``stats @ seg.T``
+    broadcasts groups back to channels."""
+    reps = n_chan // n_groups
+    return np.kron(np.eye(n_groups, dtype=np.float32),
+                   np.ones((reps, 1), np.float32))
+
+
+def _row_mask(j, chunk, n_rows):
+    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    return (j * chunk + rows) < n_rows
+
+
+def _silu(z):
+    return z * jax.nn.sigmoid(z)
+
+
+def _dsilu(z):
+    s = jax.nn.sigmoid(z)
+    return s * (1.0 + z * (1.0 - s))
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+def _fwd_kernel(x_ref, scale_ref, bias_ref, seg_ref,
+                y_ref, mean_ref, rstd_ref,
+                ssum, ssq, aff_a, aff_b,
+                *, n_rows, inv_n, eps, apply_silu, chunk):
+    p, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when((p == 0) & (j == 0))
+    def _():
+        ssum[...] = jnp.zeros_like(ssum)
+        ssq[...] = jnp.zeros_like(ssq)
+
+    x = x_ref[0].astype(jnp.float32)
+
+    @pl.when(p == 0)
+    def _():
+        xm = jnp.where(_row_mask(j, chunk, n_rows), x, 0.0)
+        ssum[...] += jnp.sum(xm, axis=0, keepdims=True)
+        ssq[...] += jnp.sum(xm * xm, axis=0, keepdims=True)
+
+    @pl.when((p == 1) & (j == 0))
+    def _():
+        seg = seg_ref[...]
+        gsum = jnp.dot(ssum[...], seg,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        gsq = jnp.dot(ssq[...], seg,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        mean_g = gsum * inv_n
+        var_g = gsq * inv_n - mean_g * mean_g
+        rstd_g = jax.lax.rsqrt(var_g + eps)
+        mean_ref[0] = mean_g
+        rstd_ref[0] = rstd_g
+        # broadcast to channels and fold the learned affine:
+        # z = xhat*scale + bias = x*a + b
+        mean_c = jnp.dot(mean_g, seg.T,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        rstd_c = jnp.dot(rstd_g, seg.T,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        a = scale_ref[...].astype(jnp.float32) * rstd_c
+        aff_a[...] = a
+        aff_b[...] = bias_ref[...].astype(jnp.float32) - mean_c * a
+
+    @pl.when(p == 1)
+    def _():
+        z = x * aff_a[...] + aff_b[...]
+        y = _silu(z) if apply_silu else z
+        y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _fwd_pallas(x, scale, bias, num_groups, eps, apply_silu, interpret):
+    b, n, c = x.shape
+    out_dt = jnp.result_type(x, scale)
+    chunk = _pick_chunk(n, c, x.dtype.itemsize)
+    nc = -(-n // chunk)
+    seg = jnp.asarray(_segments(c, num_groups))
+    inv_n = 1.0 / (n * (c // num_groups))
+
+    kernel = functools.partial(
+        _fwd_kernel, n_rows=n, inv_n=inv_n, eps=eps,
+        apply_silu=apply_silu, chunk=chunk)
+    y, mean_g, rstd_g = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c), out_dt),
+            # stats are (b, 1, G) so each block spans the last two dims
+            # exactly (Mosaic requires lane/sublane-aligned or full)
+            jax.ShapeDtypeStruct((b, 1, num_groups), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, num_groups), jnp.float32),
+        ),
+        grid=(b, 2, nc),
+        in_specs=[
+            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
+            pl.BlockSpec((c, num_groups), lambda i, p, j: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, num_groups), lambda i, p, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, num_groups), lambda i, p, j: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+            pltpu.VMEM((1, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * n * c,
+            bytes_accessed=b * n * c
+            * (2 * x.dtype.itemsize + out_dt.itemsize),
+            transcendentals=b * n * c if apply_silu else 0,
+        ),
+        interpret=interpret,
+    )(x, scale.reshape(1, c), bias.reshape(1, c), seg)
+    return y, mean_g, rstd_g
+
+
+# ---------------------------------------------------------------------------
+# backward
+
+def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
+                mean_ref, rstd_ref,
+                dx_ref, dscale_ref, dbias_ref,
+                s_dz, s_dzx, aff_a, aff_b, mean_c, rstd_c, m1, m2,
+                *, n_rows, inv_n, apply_silu, chunk):
+    i, p, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when((i == 0) & (p == 0) & (j == 0))
+    def _():
+        dscale_ref[...] = jnp.zeros_like(dscale_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    @pl.when((p == 0) & (j == 0))
+    def _():
+        seg = seg_ref[...]
+        mc = jnp.dot(mean_ref[0], seg.T,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        rc = jnp.dot(rstd_ref[0], seg.T,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        mean_c[...] = mc
+        rstd_c[...] = rc
+        a = scale_ref[...].astype(jnp.float32) * rc
+        aff_a[...] = a
+        aff_b[...] = bias_ref[...].astype(jnp.float32) - mc * a
+        s_dz[...] = jnp.zeros_like(s_dz)
+        s_dzx[...] = jnp.zeros_like(s_dzx)
+
+    x = x_ref[0].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)
+    if apply_silu:
+        z = x * aff_a[...] + aff_b[...]
+        dz = dy * _dsilu(z)
+    else:
+        dz = dy
+    xhat = (x - mean_c[...]) * rstd_c[...]
+
+    @pl.when(p == 0)
+    def _():
+        mask = _row_mask(j, chunk, n_rows)
+        dzm = jnp.where(mask, dz, 0.0)
+        s_dz[...] += jnp.sum(dzm, axis=0, keepdims=True)
+        s_dzx[...] += jnp.sum(jnp.where(mask, dz * xhat, 0.0),
+                              axis=0, keepdims=True)
+
+    @pl.when((p == 1) & (j == 0))
+    def _():
+        seg = seg_ref[...]
+        dscale_ref[...] += s_dzx[...]
+        dbias_ref[...] += s_dz[...]
+        scale32 = scale_ref[...].astype(jnp.float32)
+        m1[...] = jnp.dot(
+            jnp.dot(s_dz[...] * scale32, seg,
+                    preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST) * inv_n,
+            seg.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        m2[...] = jnp.dot(
+            jnp.dot(s_dzx[...] * scale32, seg,
+                    preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST) * inv_n,
+            seg.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(p == 1)
+    def _():
+        scale32 = scale_ref[...].astype(jnp.float32)
+        dx = rstd_c[...] * (dz * scale32 - m1[...] - xhat * m2[...])
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_pallas(x, dy, scale, bias, mean_g, rstd_g,
+                num_groups, apply_silu, interpret):
+    b, n, c = x.shape
+    chunk = _pick_chunk(n, c, x.dtype.itemsize)
+    nc = -(-n // chunk)
+    seg = jnp.asarray(_segments(c, num_groups))
+    inv_n = 1.0 / (n * (c // num_groups))
+
+    kernel = functools.partial(
+        _bwd_kernel, n_rows=n, inv_n=inv_n,
+        apply_silu=apply_silu, chunk=chunk)
+    row = lambda: pltpu.VMEM((1, c), jnp.float32)  # noqa: E731
+    dx, dscale, dbias = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        grid=(b, 2, nc),
+        in_specs=[
+            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
+            pl.BlockSpec((c, num_groups), lambda i, p, j: (0, 0)),
+            pl.BlockSpec((1, 1, num_groups), lambda i, p, j: (i, 0, 0)),
+            pl.BlockSpec((1, 1, num_groups), lambda i, p, j: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
+        ),
+        scratch_shapes=[row() for _ in range(8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * b * n * c,
+            bytes_accessed=b * n * c * 5 * x.dtype.itemsize,
+            transcendentals=2 * b * n * c if apply_silu else 0,
+        ),
+        interpret=interpret,
+    )(x, dy, scale.reshape(1, c), bias.reshape(1, c), seg,
+      mean_g, rstd_g)
+    return dx, dscale.reshape(c), dbias.reshape(c)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+
+@functools.lru_cache(maxsize=None)
+def _make_gn_silu_pallas(num_groups, eps, apply_silu, interpret):
+    """custom_vjp GroupNorm(+SiLU) running both directions as Pallas
+    kernels.  Signature matches the jnp twin minus the ext terms."""
+
+    @jax.custom_vjp
+    def f(x, scale, bias):
+        y, _, _ = _fwd_pallas(
+            x, scale, bias, num_groups, eps, apply_silu, interpret)
+        return y
+
+    def fwd(x, scale, bias):
+        y, mean_g, rstd_g = _fwd_pallas(
+            x, scale, bias, num_groups, eps, apply_silu, interpret)
+        return y, (x, scale, bias, mean_g, rstd_g)
+
+    def bwd(res, dy):
+        x, scale, bias, mean_g, rstd_g = res
+        dx, dscale, dbias = _bwd_pallas(
+            x, dy, scale, bias, mean_g, rstd_g,
+            num_groups, apply_silu, interpret)
+        return dx, dscale.astype(scale.dtype), dbias.astype(bias.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def gn_silu_pallas(x3, scale, bias, num_groups, eps, apply_silu):
+    """(B, N, C) GroupNorm(+SiLU) through the Pallas kernels."""
+    f = _make_gn_silu_pallas(
+        int(num_groups), float(eps), bool(apply_silu),
+        bool(FORCE_INTERPRET))
+    return f(x3, scale, bias)

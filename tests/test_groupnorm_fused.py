@@ -105,3 +105,78 @@ def test_validation_errors():
         group_norm_silu(x, scale, bias, 7)
     with pytest.raises(ValueError):
         group_norm_silu(x, scale, bias, G, ext_scale=s)
+
+
+# ---------------------------------------------------------------------------
+# flash-GN Pallas kernel (interpreter-mode parity on CPU)
+
+CP = 128  # lane-aligned channel count the kernel requires
+GP = 32
+
+
+@pytest.fixture
+def _pallas_interpret(monkeypatch):
+    import brever_tpu.ops.pallas.groupnorm as gnp
+    monkeypatch.setattr(gnp, 'FORCE_INTERPRET', True)
+    # force multiple chunks + a masked tail at small N
+    monkeypatch.setattr(gnp, '_CHUNK_BYTES', 16 * 1024)
+    monkeypatch.setenv('BREVER_GN_PALLAS', '1')
+    return gnp
+
+
+def _pallas_data(dtype='float32'):
+    rng = np.random.RandomState(3)
+    return (
+        jnp.asarray(rng.randn(2, 7, 43, CP).astype(dtype)),
+        jnp.asarray(rng.randn(CP).astype(dtype) * 0.1 + 1.0),
+        jnp.asarray(rng.randn(CP).astype(dtype) * 0.1),
+    )
+
+
+@pytest.mark.parametrize('apply_silu', [True, False])
+def test_pallas_kernel_matches_jnp_twin(_pallas_interpret, apply_silu,
+                                        monkeypatch):
+    """Kernel == the jnp custom-VJP path, forward and all grads (the
+    kernel accumulates channel sums chunk-sequentially, hence the
+    slightly wider tolerance than the jnp-vs-composite pin)."""
+    x, scale, bias = _pallas_data()
+
+    def run(x, scale, bias):
+        return group_norm_silu(x, scale, bias, GP, EPS,
+                               apply_silu=apply_silu)
+
+    y = run(x, scale, bias)
+    monkeypatch.setenv('BREVER_GN_PALLAS', '0')
+    y_ref = run(x, scale, bias)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-6)
+
+    w = jnp.asarray(np.random.RandomState(4)
+                    .randn(*y.shape).astype('float32'))
+    g_ref = jax.grad(lambda a: (run(*a) * w).sum())((x, scale, bias))
+    monkeypatch.setenv('BREVER_GN_PALLAS', '1')
+    g = jax.grad(lambda a: (run(*a) * w).sum())((x, scale, bias))
+    for a, b, name in zip(g_ref, g, ['x', 'scale', 'bias']):
+        np.testing.assert_allclose(
+            a, b, rtol=3e-4, atol=2e-5,
+            err_msg=f'silu={apply_silu} grad {name}')
+
+
+def test_pallas_kernel_bf16(_pallas_interpret):
+    x, scale, bias = _pallas_data()
+    xb, sb, bb = (a.astype(jnp.bfloat16) for a in (x, scale, bias))
+    y = group_norm_silu(xb, sb, bb, GP, EPS)
+    assert y.dtype == jnp.bfloat16
+    y_ref = nn.silu(nn.GroupNorm(num_groups=GP, epsilon=EPS).apply(
+        {'params': {'scale': scale, 'bias': bias}}, x))
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+        rtol=0.1, atol=0.02)
+
+
+def test_pallas_gating_falls_back(_pallas_interpret, monkeypatch):
+    """ext terms and non-lane-aligned channels must take the jnp path
+    even when the kernel is forced on (C=32 < 128 here)."""
+    x, scale, bias, s, t = _data()
+    y = group_norm_silu(x, scale, bias, G, EPS, ext_scale=s, ext_shift=t)
+    y_ref = _reference(x, scale, bias, s, t, True, True)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-6)
