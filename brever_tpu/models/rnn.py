@@ -179,6 +179,33 @@ def _dispatch_scan(gates_x, w_hh, unroll):
     return lstm_scan(gates_x, w_hh, unroll)
 
 
+def _use_fused_scan_x(n_hidden, n_rows):
+    """Gate for the v2 projection-fused kernel: same hardware/shape
+    conditions as v1 (the feature dim is zero-padded to lanes inside
+    the wrapper, so only the hidden width and MXU row floor gate)."""
+    if os.environ.get('BREVER_FUSED_LSTM', '1') != '1':
+        return False
+    from ..ops.pallas.lstm_scan import lstm_pallas_available
+    return (lstm_pallas_available()
+            and n_hidden % 128 == 0
+            and n_rows >= 128)
+
+
+def _dispatch_scan_x(x_seq, w_ih, bias, w_hh, unroll):
+    """Fused projection+scan over ``x_seq (T, D, R, E)`` with
+    direction-stacked weights; falls back to the projection-outside
+    pipeline (which itself may use the v1 fused scan)."""
+    if _use_fused_scan_x(w_hh.shape[-2], x_seq.shape[-2]):
+        from ..ops.pallas.lstm_scan import lstm_scan_fused_x
+        dt = jnp.result_type(x_seq, w_ih)
+        return lstm_scan_fused_x(
+            x_seq.astype(dt), w_ih.astype(dt),
+            bias.astype(dt), w_hh.astype(dt))
+    gates_x = jnp.einsum('tdrf,dfk->tdrk', x_seq, w_ih) \
+        + bias[None, :, None, :]
+    return _dispatch_scan(gates_x, w_hh, unroll)
+
+
 class LSTM(nn.Module):
     """Unidirectional single-layer LSTM over ``(batch, time, features)``.
 
@@ -206,12 +233,14 @@ class LSTM(nn.Module):
         b_ih = self.param('b_ih', uniform_init, (4 * h,))
         b_hh = self.param('b_hh', uniform_init, (4 * h,))
 
-        # one big MXU matmul for the input path, outside the scan
-        gates_x = x @ w_ih + (b_ih + b_hh)  # (B, T, 4h)
-        if self.reverse:
-            gates_x = jnp.flip(gates_x, axis=1)
-        gates_x = jnp.swapaxes(gates_x, 0, 1)  # (T, B, 4h)
-        hidden = _dispatch_scan(gates_x, w_hh, self.unroll)
+        # the input projection happens inside the fused kernel (one
+        # per-chunk MXU matmul overlapping the recurrence) or as one
+        # big XLA matmul on the fallback path
+        xs = jnp.flip(x, axis=1) if self.reverse else x
+        xs = jnp.swapaxes(xs, 0, 1)[:, None]  # (T, 1, B, F)
+        hidden = _dispatch_scan_x(
+            xs, w_ih[None], (b_ih + b_hh)[None], w_hh[None],
+            self.unroll)[:, 0]
         hidden = jnp.swapaxes(hidden, 0, 1)  # (B, T, h)
         if self.reverse:
             hidden = jnp.flip(hidden, axis=1)
@@ -250,11 +279,12 @@ class BLSTM(nn.Module):
 
         batch, time, _ = x.shape
         both = jnp.stack([x, jnp.flip(x, axis=1)], axis=0)  # (2, B, T, F)
-        # einsum emits the scan layout (T, 2, B, 4h) directly — a
-        # separate moveaxis would be a full HBM copy of the gate array
-        gates_x = jnp.einsum('dbtf,dfk->tdbk', both, w_ih) \
-            + (b_ih + b_hh)[None, :, None, :]
-        hidden = _dispatch_scan(gates_x, w_hh, self.unroll)  # (T, 2, B, h)
+        # (T, 2, B, F) scan layout: one F-wide copy — cheaper than the
+        # 4h-wide gate copy this layout used to require, and on the
+        # fused path the projection never touches HBM at all
+        x_seq = jnp.moveaxis(both, 2, 0)
+        hidden = _dispatch_scan_x(
+            x_seq, w_ih, b_ih + b_hh, w_hh, self.unroll)  # (T, 2, B, h)
         fwd = jnp.moveaxis(hidden[:, 0], 0, 1)            # (B, T, h)
         bwd = jnp.flip(jnp.moveaxis(hidden[:, 1], 0, 1), axis=1)
         return jnp.concatenate([fwd, bwd], axis=-1)

@@ -153,3 +153,153 @@ def test_fused_lstm_bf16_gradient_parity():
         want32 = np.asarray(want, dtype=np.float32)
         assert np.isfinite(got32).all()
         np.testing.assert_allclose(got32, want32, rtol=3e-2, atol=3e-2)
+
+
+# ---------------------------------------------------------------------------
+# v2: projection-fused kernel (lstm_scan_fused_x)
+
+def _ref_scan_x(x_seq, w_ih, bias, w_hh):
+    """projection outside + jnp twin: the pipeline v2 replaces."""
+    gates_x = jnp.einsum('tdrf,dfk->tdrk', x_seq, w_ih) \
+        + bias[None, :, None, :]
+    h_seq, _ = _lstm_scan_impl(gates_x, w_hh, unroll=1)
+    return h_seq
+
+
+def _x_data(n_dir, rows, t_steps, e_feat, seed=0, dtype='float32'):
+    h = 128
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.randn(t_steps, n_dir, rows, e_feat)
+                    .astype(dtype) * 0.3),
+        jnp.asarray(rng.randn(n_dir, e_feat, 4 * h)
+                    .astype(dtype) * 0.1),
+        jnp.asarray(rng.randn(n_dir, 4 * h).astype(dtype) * 0.1),
+        jnp.asarray(rng.randn(n_dir, h, 4 * h).astype(dtype) * 0.1),
+        jnp.asarray(rng.randn(t_steps, n_dir, rows, h).astype(dtype)),
+    )
+
+
+@pytest.mark.parametrize('n_dir,rows,t_steps,e_feat', [
+    (1, 8, 5, 128),     # lane-aligned features
+    (2, 12, 7, 96),     # feature dim padded to lanes, ragged rows
+    (2, 8, 3, 300),     # wider-than-4H padded features
+])
+def test_fused_x_forward_parity(n_dir, rows, t_steps, e_feat):
+    x_seq, w_ih, bias, w_hh, _ = _x_data(n_dir, rows, t_steps, e_feat)
+    got = fused_mod.lstm_scan_fused_x(x_seq, w_ih, bias, w_hh)
+    want = _ref_scan_x(x_seq, w_ih, bias, w_hh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize('e_feat', [128, 96])
+def test_fused_x_gradient_parity(e_feat):
+    """All four gradients (dx, dW_ih, dbias, dW_hh) against autodiff
+    through the projection-outside reference."""
+    n_dir, rows, t_steps = 2, 8, 6
+    x_seq, w_ih, bias, w_hh, cot = _x_data(
+        n_dir, rows, t_steps, e_feat, seed=1)
+
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(fused_mod.lstm_scan_fused_x(*a) * cot),
+        argnums=(0, 1, 2, 3))(x_seq, w_ih, bias, w_hh)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(_ref_scan_x(*a) * cot),
+        argnums=(0, 1, 2, 3))(x_seq, w_ih, bias, w_hh)
+    for got, want, name in zip(g_fused, g_ref,
+                               ['x', 'w_ih', 'bias', 'w_hh']):
+        assert got.shape == want.shape, name
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-3,
+            err_msg=f'grad {name} (E={e_feat})')
+
+
+def test_fused_x_multichunk_streaming(monkeypatch):
+    """Carries and weight-grad accumulation across time chunks and row
+    tiles, with time padding in the final chunk."""
+    monkeypatch.setattr(fused_mod, '_CHUNK_BYTES', 16 * 512 * 4 * 8)
+    n_dir, rows, t_steps, e_feat = 1, 16, 11, 128
+    x_seq, w_ih, bias, w_hh, cot = _x_data(
+        n_dir, rows, t_steps, e_feat, seed=3)
+
+    got = fused_mod.lstm_scan_fused_x(x_seq, w_ih, bias, w_hh)
+    want = _ref_scan_x(x_seq, w_ih, bias, w_hh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(fused_mod.lstm_scan_fused_x(*a) * cot),
+        argnums=(0, 1, 2, 3))(x_seq, w_ih, bias, w_hh)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(_ref_scan_x(*a) * cot),
+        argnums=(0, 1, 2, 3))(x_seq, w_ih, bias, w_hh)
+    for got_g, want_g, name in zip(g_fused, g_ref,
+                                   ['x', 'w_ih', 'bias', 'w_hh']):
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(want_g), rtol=2e-4, atol=2e-3,
+            err_msg=f'grad {name}')
+
+
+def test_fused_x_bf16_gradient_parity():
+    n_dir, rows, t_steps, e_feat = 2, 16, 9, 128
+    x_seq, w_ih, bias, w_hh, cot = (
+        a.astype(jnp.bfloat16)
+        for a in _x_data(n_dir, rows, t_steps, e_feat, seed=4))
+
+    g_fused = jax.grad(
+        lambda *a: jnp.sum(
+            fused_mod.lstm_scan_fused_x(*a).astype(jnp.float32)
+            * cot.astype(jnp.float32)),
+        argnums=(0, 1, 2, 3))(x_seq, w_ih, bias, w_hh)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(
+            _ref_scan_x(*a).astype(jnp.float32)
+            * cot.astype(jnp.float32)),
+        argnums=(0, 1, 2, 3))(x_seq, w_ih, bias, w_hh)
+    for idx, name in [(0, 'x'), (1, 'w_ih'), (3, 'w_hh')]:
+        got, want = g_fused[idx], g_ref[idx]
+        got32 = np.asarray(got, dtype=np.float32)
+        want32 = np.asarray(want, dtype=np.float32)
+        assert np.isfinite(got32).all()
+        # atol 5e-2: the kernel accumulates dW per-step in f32 while
+        # the reference runs one monolithic bf16 matmul — a handful of
+        # elements (~0.002%) land one bf16 ulp-cluster apart
+        np.testing.assert_allclose(got32, want32, rtol=3e-2, atol=5e-2,
+                                   err_msg=f'grad {name}')
+    # dbias: the reference reduces 288 bf16 terms with a bf16
+    # accumulator (worst-case drift ~n*eps), the kernel in f32 — pin
+    # the kernel against an f64 reduction of the reference's own
+    # dgates instead of against the noisier bf16 reduce
+    gates_x = jnp.einsum('tdrf,dfk->tdrk', x_seq, w_ih) \
+        + bias[None, :, None, :]
+    dgx = jax.grad(
+        lambda gx: jnp.sum(
+            _lstm_scan_impl(gx, w_hh, unroll=1)[0].astype(jnp.float32)
+            * cot.astype(jnp.float32)))(gates_x)
+    dbias_true = np.asarray(dgx, np.float64).sum(axis=(0, 2))
+    # atol 0.15: the kernel rounds x@W+b once (f32 -> bf16) where the
+    # reference rounds twice, so per-element dgates differ by ~1 ulp
+    # and the 288-term bias sum drifts ~eps*sqrt(n) ~ 0.13
+    np.testing.assert_allclose(
+        np.asarray(g_fused[2], np.float32), dbias_true,
+        rtol=3e-2, atol=1.5e-1, err_msg='grad bias')
+
+
+def test_blstm_module_fused_matches_fallback(monkeypatch):
+    """End-to-end BLSTM module: the v2 kernel path must match the
+    projection-outside fallback (params and inputs identical)."""
+    import flax.linen as nn
+    from brever_tpu.models.rnn import BLSTM
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(130, 6, 64).astype('float32') * 0.3)
+    mod = BLSTM(hidden_size=128)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv('BREVER_FUSED_LSTM', '0')
+    want = mod.apply(params, x)
+    monkeypatch.setenv('BREVER_FUSED_LSTM', '1')
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
