@@ -38,13 +38,23 @@ def make_params(rng):
             r(H, C), r(C), r(H, CS), r(CS))
 
 
+def _drain(out):
+    """Force a device round trip: on the tunneled backend
+    ``block_until_ready`` does NOT wait for execution (see
+    bench_inference.py, r4 'inference_scalar_fence' rerun) — only a
+    d2h fetch of a value does. Execution is in-order, so fetching one
+    scalar of the LAST output drains the whole queue."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[0]))
+
+
 def bench(fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(N_CALLS):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     return (time.perf_counter() - t0) / N_CALLS * 1e3
 
 

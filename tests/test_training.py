@@ -417,6 +417,7 @@ def test_metricgan_trains(tmp_path):
     assert all(np.isfinite(v) for v in losses[0].values())
 
 
+@pytest.mark.slow
 def test_metricgan_device_metric_scoring(tmp_path):
     """device_metric_scoring=True: the whole GAN step (candidates,
     STOI regression targets, both updates) is one jitted graph — the
