@@ -95,6 +95,18 @@ FORCE_INTERPRET = False
 #: step-time x compile-budget point.
 DEFAULT_TILE = int(os.environ.get('BREVER_TCN_TILE', '2048'))
 
+#: route sub-8 dilations through the scratch-row backward too
+#: (default ON).  The recompute variant was added because misaligned
+#: REF slices blew scoped VMEM (111-127 MB for d=1/2/4), but `_halo`
+#: has since moved the fine slice to the VALUE after an 8-aligned ref
+#: read — the same trick the forward always used — which makes the
+#: scratch kernel legal (and ~2.5x cheaper in FLOPs) for every
+#: dilation.  Measured on v5e (benchmarks/r4_measure.log,
+#: convtasnet_bwd_scratch_all): 45.0 -> 40.93 ms/step and compile
+#: 128.7 -> 73.1 s (one backward kernel family instead of two).  Set
+#: =0 to restore the recompute variant for d % 8 != 0.
+_BWD_SCRATCH_ALL = os.environ.get('BREVER_TCN_BWD_SCRATCH_ALL', '1') == '1'
+
 
 def pallas_tcn_available():
     if FORCE_INTERPRET:
@@ -895,7 +907,7 @@ def _bwd_pallas(x, params, stats, g_res, g_skip, dilation, last, tile,
     def row(shape):
         return pl.BlockSpec(shape, lambda b: (0,) * len(shape))
 
-    aligned = dilation % 8 == 0
+    aligned = dilation % 8 == 0 or _BWD_SCRATCH_ALL
     kernel = functools.partial(
         _bwd_kernel if aligned else _bwd_kernel_rc,
         dilation=dilation, last=last, tile=tile)

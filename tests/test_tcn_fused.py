@@ -56,16 +56,18 @@ def test_fused_last_block():
 
 
 @pytest.mark.parametrize('last', [False, True])
-@pytest.mark.parametrize('dilation', [4, 8, 96, 250])
+@pytest.mark.parametrize('dilation', [1, 2, 4, 8, 96, 250])
 def test_fused_gradients_match_reference(dilation, last):
     """custom_vjp backward must agree with differentiating the jnp
     twin directly (same math; fused fwd feeds the same cotangents).
-    d=4 exercises the recompute backward variant, d=8 the scratch-row
-    variant (the production path for 8-aligned dilations); last=True
-    pins the final block's skip-only gradient path.  d=96 (scratch)
-    spans multiple chunks with its boundary region (d > tile=64);
-    d=250 (recompute) is the d >= T regime where the outer taps read
-    only zero padding."""
+    d=1/2/4 exercise the recompute backward variant (or the scratch
+    variant under BREVER_TCN_BWD_SCRATCH_ALL=1 — every production
+    dilation is covered either way), d=8 the scratch-row variant (the
+    production path for 8-aligned dilations); last=True pins the final
+    block's skip-only gradient path.  d=96 (scratch) spans multiple
+    chunks with its boundary region (d > tile=64); d=250 (recompute)
+    is the d >= T regime where the outer taps read only zero
+    padding."""
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(1, 192, 64).astype('float32'))
     params = _params(rng, 64, 96, 64)
