@@ -11,6 +11,8 @@ work XLA fuses with the surrounding PReLU/norm. The whole forward is a
 static-shape jit: encoder framing pads to an integer stride count.
 """
 
+import os
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -164,11 +166,20 @@ class _TCN(nn.Module):
         # parameter tree must match the reference's: no res weights on
         # the terminal block)
         if self.repeats > 1:
+            # unroll: the scanned sweep keeps the stacked param tree
+            # (checkpoints unaffected) but unrolling the while loop
+            # lets XLA schedule across block boundaries — the per-op
+            # profile (benchmarks/r4_measure.log, profile_convtasnet)
+            # showed fwd kernels INSIDE the scan at 0.65 ms vs 0.31 ms
+            # for the inlined repeat.  Overridable for compile-budget
+            # experiments via BREVER_TCN_SCAN_UNROLL.
+            unroll = int(os.environ.get('BREVER_TCN_SCAN_UNROLL', '1'))
             sweep = nn.scan(
                 _DilationSweep,
                 variable_axes={'params': 0},
                 split_rngs={'params': True},
                 length=self.repeats - 1,
+                unroll=min(unroll, self.repeats - 1),
             )(
                 bottleneck_channels=self.bottleneck_channels,
                 hidden_channels=self.hidden_channels,
