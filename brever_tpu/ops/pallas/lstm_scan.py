@@ -59,6 +59,10 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 #: target byte size of one streamed gates_x block (sets the time chunk)
 _CHUNK_BYTES = 2 * 1024 * 1024
 
+#: cap for one streamed block at the minimum time chunk (8 steps) —
+#: bounds the double-buffered VMEM however many rows fold into a tile
+_MAX_TILE_BLOCK_BYTES = 8 * 1024 * 1024
+
 # test hook: route the fused path through the Pallas interpreter
 FORCE_INTERPRET = False
 
@@ -74,12 +78,22 @@ def _round_up(n, m):
 
 
 def _pick_blocks(t_steps, n_rows, n_hidden, itemsize):
-    """(row tile, time chunk) sized so streamed blocks pipeline well:
-    row tiles feed the 128-lane MXU, time chunks keep the gates_x
-    block near _CHUNK_BYTES so double buffering stays far under the
-    VMEM ceiling however long the sequence is."""
-    tile = min(256, _round_up(n_rows, 16))
-    chunk = _CHUNK_BYTES // (tile * 4 * n_hidden * itemsize)
+    """(row tile, time chunk) sized so streamed blocks pipeline well.
+
+    Rows are the scan's only PARALLEL axis; grid instances run
+    sequentially on the core, so every row tile is another serial
+    pass over the whole sequence.  The tile therefore covers ALL rows
+    whenever the streamed blocks fit VMEM — an earlier 256-row cap
+    split tfgridnet's 2016-row intra scan into 8 serial full-sequence
+    passes (the carry scratch for all 2016 rows is only ~0.26 MB).
+    The cap is set by the block bytes at the minimum time chunk; the
+    time chunk then targets _CHUNK_BYTES per streamed block so double
+    buffering stays far under the VMEM ceiling however long the
+    sequence is."""
+    row_bytes = 4 * n_hidden * itemsize
+    cap = max(256, _MAX_TILE_BLOCK_BYTES // (8 * row_bytes) // 16 * 16)
+    tile = min(cap, _round_up(n_rows, 16))
+    chunk = _CHUNK_BYTES // (tile * row_bytes)
     chunk = max(8, min(_round_up(t_steps, 8), _round_up(chunk, 8)))
     return tile, chunk
 

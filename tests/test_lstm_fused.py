@@ -100,6 +100,45 @@ def test_fused_lstm_gradient_parity():
             np.asarray(got), np.asarray(want), rtol=2e-4, atol=tol)
 
 
+@pytest.mark.parametrize('cap_bytes', [
+    None,                      # default cap: 272 rows fold into ONE tile
+    16 * 4 * 128 * 4 * 8,      # tiny cap -> 256-row tiles, 2 serial tiles
+])
+def test_fused_lstm_many_rows_tiling(monkeypatch, cap_bytes):
+    """rows > 256 exercise the row-tile sizing: with the default cap
+    all rows fold into one tile (one serial pass over the sequence);
+    with a binding cap the rows split across serial tiles whose (h, c)
+    carries must stay isolated.  Both must match the twin in outputs
+    and gradients."""
+    if cap_bytes is not None:
+        monkeypatch.setattr(fused_mod, '_MAX_TILE_BLOCK_BYTES',
+                            cap_bytes)
+    h = 128
+    n_dir, rows, t_steps = 1, 272, 6
+    rng = np.random.RandomState(7)
+    gates_x = jnp.asarray(
+        rng.randn(t_steps, n_dir, rows, 4 * h).astype('float32') * 0.3)
+    w_hh = jnp.asarray(rng.randn(n_dir, h, 4 * h).astype('float32') * 0.1)
+    cot = jnp.asarray(
+        rng.randn(t_steps, n_dir, rows, h).astype('float32'))
+
+    got = fused_mod.lstm_scan_fused(gates_x, w_hh)
+    want = _ref_scan(gates_x, w_hh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    g_fused = jax.grad(
+        lambda gx, w: jnp.sum(fused_mod.lstm_scan_fused(gx, w) * cot),
+        argnums=(0, 1))(gates_x, w_hh)
+    g_ref = jax.grad(
+        lambda gx, w: jnp.sum(_ref_scan(gx, w) * cot),
+        argnums=(0, 1))(gates_x, w_hh)
+    for got_g, want_g, tol in [(g_fused[0], g_ref[0], 2e-4),
+                               (g_fused[1], g_ref[1], 2e-3)]:
+        np.testing.assert_allclose(
+            np.asarray(got_g), np.asarray(want_g), rtol=2e-4, atol=tol)
+
+
 def test_fused_lstm_unidirectional_wrapper(monkeypatch):
     """The (T, B, 4H) path through models.rnn dispatch reshapes into
     the kernel layout and back."""
