@@ -92,9 +92,16 @@ def _progress(msg):
           flush=True)
 
 
-def bench_arch(arch, n_steps=N_STEPS, use_bf16=USE_BF16, arch_kwargs=None):
+def bench_arch(arch, n_steps=N_STEPS, use_bf16=USE_BF16, arch_kwargs=None,
+               seconds=SECONDS):
     """Returns a result dict, or None for unsupported (multi-optimizer)
-    architectures."""
+    architectures.
+
+    ``seconds`` sets the clip length of the synthetic batch; bench.py's
+    deadline-guarded headline measures a 1 s configuration first (its
+    compile is ~4x cheaper — fewer unrolled chunk bodies per flash-TCN
+    kernel) so a real hardware number exists before the full 4 s
+    compile gambles the driver budget."""
     _progress(f'{arch}: init')
     model = ModelRegistry.get(arch)(**(arch_kwargs or {}))
     batch_size = ARCH_BATCH.get(arch, BATCH)
@@ -133,8 +140,8 @@ def bench_arch(arch, n_steps=N_STEPS, use_bf16=USE_BF16, arch_kwargs=None):
     }
     rng = np.random.RandomState(0)
     batch = jnp.asarray(
-        rng.randn(batch_size, 2, 2, SECONDS * FS).astype('float32'))
-    lengths = jnp.full((batch_size,), SECONDS * FS, dtype=jnp.int32)
+        rng.randn(batch_size, 2, 2, seconds * FS).astype('float32'))
+    lengths = jnp.full((batch_size,), seconds * FS, dtype=jnp.int32)
 
     def cast(tree):
         return jax.tree.map(
@@ -208,10 +215,10 @@ def bench_arch(arch, n_steps=N_STEPS, use_bf16=USE_BF16, arch_kwargs=None):
     result = {
         'arch': arch,
         'batch': batch_size,
-        'seconds_per_item': SECONDS,
+        'seconds_per_item': seconds,
         'ms_per_step': round(step_s * 1e3, 2),
         'steps_per_sec': round(1.0 / step_s, 3),
-        'audio_sec_per_sec': round(batch_size * SECONDS / step_s, 1),
+        'audio_sec_per_sec': round(batch_size * seconds / step_s, 1),
         'flops_per_step': flops_per_step,
         'achieved_tflops': round(flops_per_step / step_s / 1e12, 2)
         if flops_per_step else None,

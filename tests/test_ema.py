@@ -22,10 +22,14 @@ def test_p_dot_p_matches_quadrature():
     """The closed-form profile inner product equals the integral of the
     two normalized power profiles p(x) = (g+1) x^g / t^(g+1) on [0, t]."""
     rng = np.random.RandomState(0)
-    for _ in range(5):
+    # 3 draws x 500k quadrature points: the closed form is exact math,
+    # the trapezoid is only cross-validation — 2M points x 5 draws cost
+    # ~10 s of the fast suite for no extra coverage (rtol widened to
+    # match the coarser grid's O(h^2) error)
+    for _ in range(3):
         ta, tb = rng.uniform(10, 1000, 2)
         ga, gb = rng.uniform(5, 30, 2)
-        x = np.linspace(0, min(ta, tb), 2_000_001)
+        x = np.linspace(0, min(ta, tb), 500_001)
         pa = (ga + 1) * x**ga / ta ** (ga + 1)
         pb = (gb + 1) * x**gb / tb ** (gb + 1)
         numeric = np.trapezoid(pa * pb, x)
@@ -39,7 +43,7 @@ def test_p_dot_p_matches_quadrature():
         t_exp = gb if ta < tb else -ga
         closed = ((ga + 1) * (gb + 1) * t_ratio**t_exp
                   / ((ga + gb + 1) * max(ta, tb)))
-        np.testing.assert_allclose(closed, numeric, rtol=1e-5)
+        np.testing.assert_allclose(closed, numeric, rtol=2e-4)
 
 
 def test_solve_weights_identity():
