@@ -224,3 +224,25 @@ def test_truncation_fuzz_never_raises_bare_errors():
             flac.decode(enc[:cut])
         except flac.FlacError:
             pass
+
+
+def test_integrate_fixed_matches_recurrence():
+    """The vectorized FIXED-predictor inversion (nested cumsums) must
+    reproduce the per-sample recurrence for every order, including
+    orders 3/4 that this repo's encoder never emits (foreign encoders
+    do)."""
+    rng = np.random.RandomState(7)
+    for order in range(5):
+        blocksize = 257
+        warmup = rng.randint(-30000, 30000, order).astype(np.int64)
+        res = rng.randint(-4000, 4000, blocksize - order).astype(np.int64)
+        coefs = flac._FIXED_COEFS[order]
+        want = np.empty(blocksize, np.int64)
+        want[:order] = warmup
+        for i in range(order, blocksize):
+            pred = 0
+            for j, c in enumerate(coefs):
+                pred += c * want[i - 1 - j]
+            want[i] = res[i - order] + pred
+        got = flac._integrate_fixed(warmup, res, order)
+        np.testing.assert_array_equal(got, want), order
