@@ -135,6 +135,21 @@ def aggregate_trace(trace_dir, n_steps):
     if rest > 0:
         print(f'{rest / n_steps:9.3f} ms  (remaining '
               f'{len(rows) - 45} ops)')
+    # attribute the tail: aggregate ALL ops by category (instruction
+    # name with trailing `.NNN` indices stripped) so dispatch-bound
+    # steps show where the thousands of tiny ops live
+    import re
+    cat_agg = defaultdict(float)
+    cat_cnt = defaultdict(int)
+    for name, dur in agg.items():
+        cat = re.sub(r'[.\d]+$', '', name)
+        cat_agg[cat] += dur
+        cat_cnt[cat] += cnt[name]
+    print('# by category (all ops)')
+    for cat, dur in sorted(cat_agg.items(), key=lambda kv: -kv[1])[:40]:
+        n = cat_cnt[cat] // n_steps
+        print(f'{dur / n_steps:9.3f} ms  x{n:<5d} '
+              f'avg {dur / max(cat_cnt[cat], 1) * 1e3:7.1f} us  {cat[:90]}')
 
 
 def main():
