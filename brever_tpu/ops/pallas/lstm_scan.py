@@ -93,8 +93,40 @@ def _pick_blocks(t_steps, n_rows, n_hidden, itemsize):
     row_bytes = 4 * n_hidden * itemsize
     cap = max(256, _MAX_TILE_BLOCK_BYTES // (8 * row_bytes) // 16 * 16)
     tile = min(cap, _round_up(n_rows, 16))
+    # both block dims prefer EXACT divisors: padded rows/steps cost a
+    # full pad copy of every kernel operand (x/h/c/dh) plus the
+    # slice-back — measured ~2.4 ms/step of pure movement on
+    # tfgridnet. The row tile must stay a multiple of 16 (f32 sublane
+    # tiling of the (rows, gates) blocks); the time chunk is a MAJOR
+    # block dim with no alignment requirement at all, so any divisor
+    # works, bounded only by the streamed-block VMEM budget (2x the
+    # min-chunk cap: the scan is compute-bound per chunk, so fewer,
+    # bigger DMAs pipeline fine).
+    if n_rows % tile:
+        for k in range(2, n_rows // 16 + 1):
+            if n_rows % k == 0 and (n_rows // k) % 16 == 0 \
+                    and n_rows // k <= cap:
+                tile = n_rows // k
+                break
     chunk = _CHUNK_BYTES // (tile * row_bytes)
     chunk = max(8, min(_round_up(t_steps, 8), _round_up(chunk, 8)))
+    if t_steps % chunk:
+        max_chunk = min(
+            _round_up(t_steps, 8),
+            max(chunk, 2 * _MAX_TILE_BLOCK_BYTES // (tile * row_bytes)))
+        best, best_pad = chunk, -t_steps % chunk
+        for n in range(1, t_steps + 1):
+            cand = -(-t_steps // n)  # ceil
+            if cand > max_chunk:
+                continue
+            if cand < max(8, chunk // 2):
+                break
+            pad = cand * n - t_steps
+            if pad < best_pad:
+                best, best_pad = cand, pad
+                if pad == 0:
+                    break
+        chunk = best
     return tile, chunk
 
 
