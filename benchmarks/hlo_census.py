@@ -37,6 +37,15 @@ _META = re.compile(r'op_name="([^"]*)"')
 # bodies. Everything else (ENTRY, while bodies, called computations)
 # writes its instruction outputs to real buffers.
 _VIRTUAL = ('fused_computation', 'wrapped_', 'region_')
+# ops whose "output" aliases an existing buffer and writes nothing to
+# HBM: bitcast/GTE/tuple are pure aliasing, and the -done half of an
+# async pair aliases the buffer its -start allocated (counting both
+# would double-count every async copy/collective).  Earlier census
+# logs (r4_measure.log before 2026-08-19 late) include these; their
+# "materialized" totals read ~30-50% high as a result.
+_ALIAS_OPS = ('bitcast', 'get-tuple-element', 'tuple', 'copy-done',
+              'async-done', 'all-reduce-done', 'all-gather-done',
+              'collective-permute-done')
 
 
 def _group(op_name):
@@ -77,6 +86,8 @@ def census(txt, top_n=12):
             continue
         name, dt, shape, op = m.groups()
         if dt not in DT_BYTES or op == 'parameter':
+            continue
+        if op in _ALIAS_OPS:
             continue
         n = 1
         for s in shape.split(','):
