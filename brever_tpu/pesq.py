@@ -28,13 +28,19 @@ Deviations from the ITU reference code (documented so parity limits
 are explicit):
 
 *   Time alignment does crude global alignment, utterance splitting
-    on the reference envelope and fine per-utterance delays (applied
-    per frame), but not P.862's bad-interval realignment refinement
-    (re-splitting an utterance when the delay drifts inside it).
-    Speech-enhancement outputs are time-aligned with their references
-    by construction, so the estimated delays are ~0 in this
-    framework's use (the reference library exercises the same code
-    path trivially in that case).
+    on the reference envelope, fine per-utterance delays (applied per
+    frame) and bad-interval realignment (frames whose disturbance
+    exceeds the P.862 threshold of 30 form intervals of >= 5
+    consecutive frames; each interval's delay is re-searched and the
+    per-frame disturbance takes the minimum of the original and the
+    realigned value). The realignment is spec-shaped rather than
+    bit-matched to the ITU loop: the re-search reuses the utterance
+    correlator inside the standard search buffer, and the recompute
+    reuses the already-estimated gain/frequency compensation instead
+    of re-deriving it per interval. Speech-enhancement outputs are
+    time-aligned with their references by construction, so the
+    estimated delays are ~0 in this framework's use (the reference
+    library exercises the same code path trivially in that case).
 *   The Bark band edges and absolute hearing thresholds are derived
     analytically (uniform grid on a Zwicker-style Bark scale, Terhardt
     threshold curve) rather than copied from the ITU tables.
@@ -78,6 +84,8 @@ ZWICKER_POWER = 0.23
 ABS_THRESH_FACTOR = 1.0
 SYLLABLE_FRAMES = 20       # 20 half-overlapping frames ~ 320 ms
 MAX_UTTERANCES = 50        # P.862 cap on the utterance count
+THRESHOLD_BAD_FRAMES = 30.0  # frame disturbance marking a frame "bad"
+MIN_BAD_FRAMES = 5         # consecutive bad frames forming an interval
 D_WEIGHT = 0.1
 DA_WEIGHT = 0.0309
 
@@ -340,6 +348,55 @@ def _lpq_weight(frame_d, time_weight, p_syll=6.0, p_time=2.0):
     return (num / den) ** (1.0 / p_time)
 
 
+def _frame_disturbances(pp_ref_c, pp_deg_c, weight, cfg):
+    """Per-frame D and DA from compensated Bark power densities.
+
+    Masked loudness difference, asymmetry factor, width-weighted band
+    aggregation, listening-effort weighting and the 45 cap — the P.862
+    disturbance pipeline downstream of the gain/frequency compensation.
+    """
+    loud_ref = _loudness(pp_ref_c, cfg)
+    loud_deg = _loudness(pp_deg_c, cfg)
+
+    # masked disturbance with a 0.25*min deadzone
+    d = loud_deg - loud_ref
+    m = 0.25 * np.minimum(loud_deg, loud_ref)
+    disturbance = np.sign(d) * np.maximum(np.abs(d) - m, 0.0)
+
+    # asymmetry factor: added distortion counts more than removed
+    ratio = ((pp_deg_c + 50.0) / (pp_ref_c + 50.0)) ** 1.2
+    asym = np.where(ratio < 3.0, 0.0, np.minimum(ratio, 12.0))
+    disturbance_asym = disturbance * asym
+
+    frame_d = _pseudo_lp(disturbance, 2.0, cfg.width_bark)
+    frame_da = _pseudo_lp(disturbance_asym, 1.0, cfg.width_bark)
+
+    # emphasis on low-power (listening-effort) frames + clipping
+    frame_d = np.minimum(frame_d / weight, 45.0)
+    frame_da = np.minimum(frame_da / weight, 45.0)
+    return frame_d, frame_da
+
+
+def _bad_intervals(frame_d):
+    """Runs of >= MIN_BAD_FRAMES consecutive frames whose disturbance
+    exceeds THRESHOLD_BAD_FRAMES, as [f0, f1) frame spans (P.862
+    bad-interval definition)."""
+    bad = frame_d > THRESHOLD_BAD_FRAMES
+    intervals = []
+    i, n = 0, len(bad)
+    while i < n:
+        if bad[i]:
+            j = i
+            while j < n and bad[j]:
+                j += 1
+            if j - i >= MIN_BAD_FRAMES:
+                intervals.append((i, j))
+            i = j
+        else:
+            i += 1
+    return intervals
+
+
 def _raw_to_mos_lqo(raw, mode):
     if mode == 'nb':     # P.862.1
         return 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607))
@@ -355,9 +412,13 @@ def _check_fs_mode(fs, mode):
         raise ValueError('wideband PESQ requires fs 16000')
 
 
-def pesq(fs, ref, deg, mode='wb'):
+def pesq(fs, ref, deg, mode='wb', realign=True):
     """MOS-LQO of ``deg`` against clean ``ref`` (same argument order as
-    the canonical library: reference signal first)."""
+    the canonical library: reference signal first).
+
+    ``realign=False`` disables the bad-interval realignment (P.862
+    refinement for delay drift inside an utterance; see the module
+    docstring)."""
     _check_fs_mode(fs, mode)
     ref = np.asarray(ref, dtype=np.float64).reshape(-1)
     deg = np.asarray(deg, dtype=np.float64).reshape(-1)
@@ -449,26 +510,33 @@ def pesq(fs, ref, deg, mode='wb'):
     gains = np.clip(gains, MIN_SCALE, MAX_SCALE)
     pp_deg_c = pp_deg * gains[:, None]
 
-    loud_ref = _loudness(pp_ref_c, cfg)
-    loud_deg = _loudness(pp_deg_c, cfg)
-
-    # masked disturbance with a 0.25*min deadzone
-    d = loud_deg - loud_ref
-    m = 0.25 * np.minimum(loud_deg, loud_ref)
-    disturbance = np.sign(d) * np.maximum(np.abs(d) - m, 0.0)
-
-    # asymmetry factor: added distortion counts more than removed
-    ratio = ((pp_deg_c + 50.0) / (pp_ref_c + 50.0)) ** 1.2
-    asym = np.where(ratio < 3.0, 0.0, np.minimum(ratio, 12.0))
-    disturbance_asym = disturbance * asym
-
-    frame_d = _pseudo_lp(disturbance, 2.0, cfg.width_bark)
-    frame_da = _pseudo_lp(disturbance_asym, 1.0, cfg.width_bark)
-
-    # emphasis on low-power (listening-effort) frames + clipping
     weight = ((tot_ref_c + 1e5) / 1e7) ** 0.04
-    frame_d = np.minimum(frame_d / weight, 45.0)
-    frame_da = np.minimum(frame_da / weight, 45.0)
+    frame_d, frame_da = _frame_disturbances(
+        pp_ref_c, pp_deg_c, weight, cfg)
+
+    # bad-interval realignment: where the disturbance spikes over a
+    # run of frames, the utterance delay may have drifted — re-search
+    # the delay over just that interval and keep the per-frame minimum
+    # of the original and realigned disturbances (a wrong realignment
+    # can therefore never make the score worse)
+    if realign:
+        for f0, f1 in _bad_intervals(frame_d):
+            a = pad_front + f0 * cfg.hop
+            b = pad_front + (f1 - 1) * cfg.hop + cfg.nf
+            cur_delay = int(offsets[f0] - pad_front)
+            new_delay = _utterance_delay(
+                ref_f, deg_f, a, b, cur_delay, cfg)
+            if new_delay == cur_delay:
+                continue
+            sub_off = np.full(f1 - f0,
+                              pad_front + new_delay + f0 * cfg.hop)
+            pp_sub = SP * (_power_spectra(deg_f, cfg, f1 - f0, sub_off)
+                           @ cfg.group.T)
+            fd_new, fda_new = _frame_disturbances(
+                pp_ref_c[f0:f1], pp_sub * gains[f0:f1, None],
+                weight[f0:f1], cfg)
+            frame_d[f0:f1] = np.minimum(frame_d[f0:f1], fd_new)
+            frame_da[f0:f1] = np.minimum(frame_da[f0:f1], fda_new)
 
     time_weight = np.ones(n_frames)
     d_ind = _lpq_weight(frame_d, time_weight)

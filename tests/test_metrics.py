@@ -182,6 +182,50 @@ def test_pesq_per_utterance_alignment():
     assert pesq_fn(fs, ref, deg, 'wb') > 4.5
 
 
+def test_pesq_bad_intervals_unit():
+    """Interval finder: runs of > THRESHOLD_BAD_FRAMES frames qualify
+    only at >= MIN_BAD_FRAMES consecutive frames."""
+    from brever_tpu.pesq import _bad_intervals
+    d = np.zeros(40)
+    d[3:6] = 40.0          # 3 frames: too short
+    d[10:15] = 40.0        # exactly 5: qualifies
+    d[20:30] = 31.0        # 10 frames: qualifies
+    d[35:] = 40.0          # 5 frames at the tail: qualifies
+    assert _bad_intervals(d) == [(10, 15), (20, 30), (35, 40)]
+    assert _bad_intervals(np.zeros(10)) == []
+
+
+def test_pesq_bad_interval_realignment():
+    """A delay that drifts INSIDE one continuous utterance defeats the
+    per-utterance alignment (one delay per utterance); the P.862
+    bad-interval realignment re-searches the delay over the
+    high-disturbance runs and recovers part of the score.  The
+    recovery is bounded by design: only frames above the disturbance
+    threshold (30) realign, and a realigned frame keeps the minimum of
+    the two disturbances, so the score can only improve."""
+    from brever_tpu.pesq import pesq as pesq_fn
+    fs = 16000
+    rng = np.random.RandomState(11)
+    n = 4 * fs
+    # tone hopping (new tone every 32 ms frame): a misaligned frame
+    # compares entirely different spectra, driving its disturbance
+    # over the bad-frame threshold
+    seg = int(0.032 * fs)
+    freqs = rng.uniform(300, 3000, n // seg + 2)
+    phase = 2 * np.pi * np.cumsum(np.repeat(freqs, seg)[:n]) / fs
+    ref = 0.1 * np.sin(phase)
+    # second half lags an extra 150 ms (inside the search buffer)
+    half = 2 * fs
+    deg = ref.copy()
+    deg[half:] = np.concatenate([np.zeros(2400), ref[half:-2400]])
+    base = pesq_fn(fs, ref, deg, 'wb', realign=False)
+    fixed = pesq_fn(fs, ref, deg, 'wb')
+    assert fixed > base + 0.1, (base, fixed)
+    # perfectly aligned input must be unaffected by the realignment
+    clean_score = pesq_fn(fs, ref, ref, 'wb')
+    assert clean_score == pesq_fn(fs, ref, ref, 'wb', realign=False)
+
+
 def test_pesq_monotonic_with_noise():
     from brever_tpu.pesq import pesq as pesq_fn
     clean = _speech_noise(2, 32000)
