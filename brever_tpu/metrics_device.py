@@ -263,9 +263,10 @@ DEVICE_METRICS = {
 #
 # Deviation from the host twin, by design: time alignment uses the
 # single global delay only (no utterance splitting / per-utterance fine
-# delays). For speech-enhancement outputs — time-aligned with their
-# references by construction — every utterance delay the host estimates
-# is the global delay, so the two pipelines coincide exactly there;
+# delays / bad-interval realignment). For speech-enhancement outputs —
+# time-aligned with their references by construction — every utterance
+# delay the host estimates is the global delay and no bad interval
+# triggers a realignment, so the two pipelines coincide exactly there;
 # signals with genuinely time-varying delay should be scored on host.
 
 def _pesq_plan(fs, mode, t_in):
