@@ -58,9 +58,13 @@ def main():
                   flush=True)
             continue
         merged.update(rec)
-        with open(OUT, 'w') as f:
+        # atomic update: an interrupt mid-dump must not truncate the
+        # preserved entries for archs not swept this run
+        tmp = OUT + '.tmp'
+        with open(tmp, 'w') as f:
             json.dump(merged, f, indent=1)
             f.write('\n')
+        os.replace(tmp, OUT)
         print(f'# sweep: {arch} recorded', flush=True)
     print('SWEEP DONE', flush=True)
 

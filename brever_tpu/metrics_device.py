@@ -265,9 +265,12 @@ DEVICE_METRICS = {
 # single global delay only (no utterance splitting / per-utterance fine
 # delays / bad-interval realignment). For speech-enhancement outputs —
 # time-aligned with their references by construction — every utterance
-# delay the host estimates is the global delay and no bad interval
-# triggers a realignment, so the two pipelines coincide exactly there;
-# signals with genuinely time-varying delay should be scored on host.
+# delay the host estimates is the global delay, and realignment
+# normally re-confirms it; but a heavily degraded aligned signal (early
+# training / very low SNR) can still cross the disturbance-30 threshold
+# and land the host re-search on a spurious correlation peak, shifting
+# the host score away from this twin. Signals with genuinely
+# time-varying delay should always be scored on host.
 
 def _pesq_plan(fs, mode, t_in):
     """Host-side static tables for a (fs, mode, padded-length) plan."""

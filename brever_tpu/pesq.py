@@ -520,7 +520,19 @@ def pesq(fs, ref, deg, mode='wb', realign=True):
     # of the original and realigned disturbances (a wrong realignment
     # can therefore never make the score worse)
     if realign:
+        # An interval can span an utterance boundary (frames with
+        # different per-utterance delays); re-searching with the first
+        # frame's delay alone would silently skip recovery for the
+        # later frames, so split at every offset change first.
+        pieces = []
         for f0, f1 in _bad_intervals(frame_d):
+            cut = f0
+            for f in range(f0 + 1, f1):
+                if offsets[f] != offsets[cut]:
+                    pieces.append((cut, f))
+                    cut = f
+            pieces.append((cut, f1))
+        for f0, f1 in pieces:
             a = pad_front + f0 * cfg.hop
             b = pad_front + (f1 - 1) * cfg.hop + cfg.nf
             cur_delay = int(offsets[f0] - pad_front)
@@ -535,8 +547,14 @@ def pesq(fs, ref, deg, mode='wb', realign=True):
             fd_new, fda_new = _frame_disturbances(
                 pp_ref_c[f0:f1], pp_sub * gains[f0:f1, None],
                 weight[f0:f1], cfg)
-            frame_d[f0:f1] = np.minimum(frame_d[f0:f1], fd_new)
-            frame_da[f0:f1] = np.minimum(frame_da[f0:f1], fda_new)
+            # P.862 accepts the realigned interval's values as a set;
+            # mixing the symmetric disturbance of one alignment with
+            # the asymmetric of the other would be too optimistic, so
+            # both follow one per-frame criterion (fd improves).
+            better = fd_new < frame_d[f0:f1]
+            frame_d[f0:f1] = np.where(better, fd_new, frame_d[f0:f1])
+            frame_da[f0:f1] = np.where(better, fda_new,
+                                       frame_da[f0:f1])
 
     time_weight = np.ones(n_frames)
     d_ind = _lpq_weight(frame_d, time_weight)
