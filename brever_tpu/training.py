@@ -756,6 +756,7 @@ class TrainingTimer:
         self.val_extra_sum = 0.0
         self.val_count = 0
         self._lap_start = None
+        self.last_lap = None
 
     def start(self):
         self._lap_start = time.time()
@@ -766,6 +767,7 @@ class TrainingTimer:
         self._lap_start = now
         self.epoch_time_sum += elapsed
         self.epoch_count += 1
+        self.last_lap = elapsed
         if validated:
             self.val_count += 1
 
@@ -778,8 +780,11 @@ class TrainingTimer:
         return remaining * self.avg_epoch_time
 
     def log(self):
-        return (f'Avg epoch time: {self.avg_epoch_time:.2f} s; '
-                f'ETA: {self.eta():.0f} s')
+        msg = ''
+        if self.last_lap is not None:
+            msg += f'Epoch time: {self.last_lap:.2f} s; '
+        return msg + (f'Avg epoch time: {self.avg_epoch_time:.2f} s; '
+                      f'ETA: {self.eta():.0f} s')
 
     def state_dict(self):
         return {

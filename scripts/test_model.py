@@ -85,8 +85,15 @@ def test_model(args, model, variables, cfg, test_path, score_file,
         dataset, batch_size=args.batch_size, shuffle=False, dynamic=True,
         reverse=True,
     )
+    # pad_quantum rounds batch lengths up to a fixed grid so the TPU
+    # sees a bounded set of (B, T) shapes (each distinct shape is a
+    # remote compile on the tunneled backend); metrics trim with
+    # ``lengths`` so scores are unaffected
+    pad_to_multiple = round(args.pad_quantum * cfg.dataset.fs) \
+        if args.pad_quantum else None
     dataloader = BreverDataLoader(dataset, sampler,
-                                  num_workers=args.workers)
+                                  num_workers=args.workers,
+                                  pad_to_multiple=pad_to_multiple)
 
     on_batch = None
     if args.output_dir is not None:
@@ -165,6 +172,10 @@ def main():
                         help='metric for best-checkpoint selection')
     parser.add_argument('--batch_size', type=float, default=20)
     parser.add_argument('--workers', type=int, default=0)
+    parser.add_argument('--pad_quantum', type=float, default=0.0,
+                        help='round batch lengths up to multiples of '
+                        'this many seconds to bound the set of '
+                        'compiled shapes (recommended on TPU)')
     parser.add_argument('--device_metrics', action='store_true',
                         help='score with the on-device jax metric '
                         'twins (brever_tpu.metrics_device) instead of '

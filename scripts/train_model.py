@@ -73,7 +73,12 @@ def main():
     train_dataset = BreverDataset(path=config.train_path,
                                   transform=model.loader_transform,
                                   **dataset_kwargs)
+    # validation is always a static (pre-created) dataset, even when
+    # training uses dynamic mixing (reference train_model.py:108-118
+    # pins dynamic_mixing=False for the val set)
     val_kwargs = dict(dataset_kwargs)
+    val_kwargs['dynamic_mixing'] = False
+    val_kwargs['dynamic_mixing_device'] = False
     val_dataset = BreverDataset(path=config.val_path, **val_kwargs)
 
     # train/val leakage check: same dataset path is almost always an
