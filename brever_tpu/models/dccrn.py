@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..ops import STFT
 from .base import BreverBaseModel, ModelRegistry, param_dtype
 from .common import ComplexBatchNorm, PReLU, batch_norm
-from .rnn import LSTM
+from .rnn import DEFAULT_UNROLL, _dispatch_scan_x
 
 
 def _split(x, axis=-1):
@@ -87,15 +87,45 @@ class _ComplexConv(nn.Module):
         return y + bias
 
 
-class _ComplexLSTMLayer(nn.Module):
-    """Single complex LSTM layer: four real LSTM passes combined.
+class _LSTMParams(nn.Module):
+    """Parameter-only twin of ``rnn.LSTM``: same names, shapes and
+    initializers (so the variable tree, init draws and checkpoints are
+    identical to a real LSTM submodule), but the scan itself is driven
+    by the caller — _ComplexLSTMLayer packs two weight sets into ONE
+    direction-stacked scan."""
 
-    The four passes share two weight sets (real-net, imag-net), so the
-    real and imaginary inputs are stacked into the batch axis and each
-    net runs ONE scan over 2B rows — half the sequential scan count of
-    the naive formulation (scans are the latency-bound part of this
-    model on TPU; the recurrent matmul just gets wider, which the MXU
-    absorbs)."""
+    in_features: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self):
+        h = self.hidden_size
+        scale = 1.0 / jnp.sqrt(h)
+
+        def uniform_init(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32,
+                                      -scale, scale)
+
+        w_ih = self.param('w_ih', uniform_init, (self.in_features, 4 * h))
+        w_hh = self.param('w_hh', uniform_init, (h, 4 * h))
+        b_ih = self.param('b_ih', uniform_init, (4 * h,))
+        b_hh = self.param('b_hh', uniform_init, (4 * h,))
+        return w_ih, w_hh, b_ih + b_hh
+
+
+class _ComplexLSTMLayer(nn.Module):
+    """Single complex LSTM layer: four real LSTM passes combined into
+    ONE scan.
+
+    The four passes share two weight sets (real-net, imag-net). The
+    real and imaginary inputs are stacked into the row axis (2B rows)
+    and the two nets are stacked on the direction axis of the packed
+    scan (the same mechanism BLSTM uses for forward/backward weights),
+    so the whole complex layer is a single sequential scan — one
+    kernel dispatch / while-loop instead of two, and on TPU the fused
+    Pallas scan keeps the (T, 2, 2B, 4H) gate stashes in VMEM
+    (reference four-pass formulation: brever/models/dccrn/dccrn.py:
+    315-358)."""
 
     hidden_size: int
 
@@ -103,8 +133,18 @@ class _ComplexLSTMLayer(nn.Module):
     def __call__(self, real, imag):
         batch = real.shape[0]
         stacked = jnp.concatenate([real, imag], axis=0)  # (2B, T, F)
-        out_r = LSTM(self.hidden_size, name='real')(stacked)
-        out_i = LSTM(self.hidden_size, name='imag')(stacked)
+        w_r, whh_r, b_r = _LSTMParams(
+            stacked.shape[-1], self.hidden_size, name='real')()
+        w_i, whh_i, b_i = _LSTMParams(
+            stacked.shape[-1], self.hidden_size, name='imag')()
+        xs = jnp.swapaxes(stacked, 0, 1)                  # (T, 2B, F)
+        xs = jnp.broadcast_to(
+            xs[:, None], (xs.shape[0], 2) + xs.shape[1:])
+        out = _dispatch_scan_x(
+            xs, jnp.stack([w_r, w_i]), jnp.stack([b_r, b_i]),
+            jnp.stack([whh_r, whh_i]), DEFAULT_UNROLL)    # (T, 2, 2B, H)
+        out_r = jnp.swapaxes(out[:, 0], 0, 1)             # (2B, T, H)
+        out_i = jnp.swapaxes(out[:, 1], 0, 1)
         rr, ri = out_r[:batch], out_r[batch:]
         ir, ii = out_i[:batch], out_i[batch:]
         return rr - ii, ri + ir

@@ -140,15 +140,21 @@ def _lstm_scan_bwd(unroll, residuals, dh_seq):
 lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
 
 
+def _min_fused_rows():
+    """MXU row floor for the fused scan (BREVER_LSTM_MIN_ROWS).
+
+    A sub-128-row recurrence idles part of the MXU, but the narrow
+    scans below the floor (DCCRN's packed complex bottleneck: 32 rows
+    x ~500 steps) are BYTE-bound, not MXU-bound — the kernel's win is
+    keeping the (T, R, 4H) gate stashes out of HBM, which holds at
+    any width. The default is set by hardware A/B (see PERF.md)."""
+    return int(os.environ.get('BREVER_LSTM_MIN_ROWS', '128'))
+
+
 def _use_fused_scan(gates_x, w_hh):
     """flash-LSTM engages on TPU for lane-aligned hidden sizes and
     row counts wide enough to feed the MXU (see
     ops/pallas/lstm_scan.py); BREVER_FUSED_LSTM=0 disables.
-
-    The row floor also keeps narrow-but-long recurrences (DCCRN's
-    32-row, 500-step complex-LSTM bottleneck) on the XLA scan: the
-    kernel's matmuls would idle 3/4 of the MXU there, so the fused
-    path is all cost.
 
     Default ON where the kernel applies: measured on v5e hardware
     (benchmarks/r3_measure.log round 3) it takes tfgridnet from
@@ -164,7 +170,7 @@ def _use_fused_scan(gates_x, w_hh):
             and n_hidden % 128 == 0
             and gates_x.shape[-1] == 4 * n_hidden
             and gates_x.ndim in (3, 4)
-            and n_rows >= 128)
+            and n_rows >= _min_fused_rows())
 
 
 def _dispatch_scan(gates_x, w_hh, unroll):
@@ -188,7 +194,7 @@ def _use_fused_scan_x(n_hidden, n_rows):
     from ..ops.pallas.lstm_scan import lstm_pallas_available
     return (lstm_pallas_available()
             and n_hidden % 128 == 0
-            and n_rows >= 128)
+            and n_rows >= _min_fused_rows())
 
 
 def _dispatch_scan_x(x_seq, w_ih, bias, w_hh, unroll):

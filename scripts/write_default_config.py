@@ -37,6 +37,20 @@ def spec_defaults(cls):
             for arg, item in get_func_spec(cls).items()}
 
 
+# Per-arch trainer overrides, mirroring the reference's shipped config
+# files (which are generated then hand-edited): the heavy models train
+# under amp (reference config/models/*.yaml:39 sets use_amp true for
+# everything except ffnn and the MetricGAN family, whose GAN trainer
+# path stays f32). On TPU, amp additionally gates the fused Pallas
+# kernels (flash-TCN/flash-LSTM engage in bf16).
+TRAINER_OVERRIDES = {
+    arch: {'use_amp': True}
+    for arch in ('convtasnet', 'dccrn', 'idmse', 'idmselarge', 'manner',
+                 'sgmsep', 'sgmsepheun', 'sgmsepm', 'sgmsepmheun',
+                 'tfgridnet')
+}
+
+
 def main(config_dir):
     os.makedirs(os.path.join(config_dir, 'models'), exist_ok=True)
 
@@ -59,7 +73,8 @@ def main(config_dir):
             'train_path': 'none',
             'val_path': 'none',
             'dataset': dict(dataset_defaults),
-            'trainer': dict(trainer_defaults),
+            'trainer': {**trainer_defaults,
+                        **TRAINER_OVERRIDES.get(arch, {})},
             'model': spec_defaults(ModelRegistry.get(arch)),
         }
         path = os.path.join(config_dir, 'models', f'{arch}.yaml')
