@@ -92,6 +92,57 @@ def _progress(msg):
           flush=True)
 
 
+def _compile_maybe_aot(arch, lowered):
+    """Compile a lowered step, optionally via an AOT artifact cache.
+
+    The tunneled backend has no viable persistent compile cache (a
+    cache hit pulls the ~100 MB executable through the tunnel, slower
+    than recompiling — bench.py docstring), but an artifact built ONCE
+    outside the driver-bench window changes the trade: set
+    BENCH_AOT_DIR to a directory and the compiled executable is
+    serialized there keyed by a hash of the lowered StableHLO; later
+    runs (e.g. the driver's 600 s budget) deserialize from local disk
+    instead of gambling on compile weather (47-816 s observed for the
+    identical program, PERF.md). Artifacts are backend+program exact:
+    any model/shape/flag change misses the key and recompiles."""
+    aot_dir = os.environ.get('BENCH_AOT_DIR')
+    if not aot_dir:
+        return lowered.compile()
+    import hashlib
+    import pickle
+
+    key = hashlib.sha256(
+        (jax.__version__ + lowered.as_text()).encode()).hexdigest()[:16]
+    path = os.path.join(aot_dir, f'{arch}_{key}.aot')
+    if os.path.exists(path):
+        from jax.experimental.serialize_executable import (
+            deserialize_and_load)
+        t0 = time.perf_counter()
+        with open(path, 'rb') as f:
+            payload = pickle.load(f)
+        compiled = deserialize_and_load(
+            payload['bytes'], payload['in_tree'], payload['out_tree'])
+        _progress(f'{arch}: AOT load {time.perf_counter() - t0:.1f}s '
+                  f'({len(payload["bytes"]) / 1e6:.1f} MB)')
+        return compiled
+    compiled = lowered.compile()
+    try:
+        from jax.experimental.serialize_executable import serialize
+        t0 = time.perf_counter()
+        blob, in_tree, out_tree = serialize(compiled)
+        os.makedirs(aot_dir, exist_ok=True)
+        tmp = path + '.tmp'
+        with open(tmp, 'wb') as f:
+            pickle.dump({'bytes': blob, 'in_tree': in_tree,
+                         'out_tree': out_tree}, f)
+        os.replace(tmp, path)
+        _progress(f'{arch}: AOT save {time.perf_counter() - t0:.1f}s '
+                  f'({len(blob) / 1e6:.1f} MB) -> {path}')
+    except Exception as e:
+        print(f'# {arch}: AOT serialize failed: {e}', file=sys.stderr)
+    return compiled
+
+
 def bench_arch(arch, n_steps=N_STEPS, use_bf16=USE_BF16, arch_kwargs=None,
                seconds=SECONDS):
     """Returns a result dict, or None for unsupported (multi-optimizer)
@@ -188,7 +239,7 @@ def bench_arch(arch, n_steps=N_STEPS, use_bf16=USE_BF16, arch_kwargs=None,
     # negligible outer-graph noise).
     _progress(f'{arch}: lowering+compile')
     t0 = time.perf_counter()
-    compiled = jax.jit(run).lower(state).compile()
+    compiled = _compile_maybe_aot(arch, jax.jit(run).lower(state))
     compile_s = time.perf_counter() - t0
     _progress(f'{arch}: compiled in {compile_s:.1f}s')
     try:
@@ -300,7 +351,7 @@ def bench_gan(arch, model, variables, tx, n_steps=N_STEPS):
 
     _progress(f'{arch}: lowering+compile')
     t0 = time.perf_counter()
-    compiled = jax.jit(run).lower(state).compile()
+    compiled = _compile_maybe_aot(arch, jax.jit(run).lower(state))
     compile_s = time.perf_counter() - t0
     _progress(f'{arch}: compiled in {compile_s:.1f}s')
     try:

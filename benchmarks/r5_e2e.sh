@@ -84,7 +84,8 @@ MODEL_DIR=$(cat "$WORK/model_dir" 2>/dev/null || true)
 # ---- stage 4: train on the TPU (production loop)
 if want train; then
   say "training $MODEL_DIR on TPU"
-  run timeout 5400 python scripts/train_model.py "$MODEL_DIR" || exit 5
+  run timeout 5400 env JAX_LOG_COMPILES=1 \
+    python scripts/train_model.py "$MODEL_DIR" || exit 5
   say "train log tail:"
   tail -20 "$MODEL_DIR/log_train.log" | tee -a "$LOG"
 fi

@@ -38,5 +38,11 @@ run manner_step python benchmarks/bench_models.py manner
 run tfgridnet_profile python benchmarks/profile_step.py tfgridnet
 run sgmsepm_census python benchmarks/hlo_census.py sgmsepm 24
 run sgmsepm_step python benchmarks/bench_models.py sgmsepm
-run bench_headline env BENCH_ARCHS=convtasnet python bench.py
+run vpu_dtype python benchmarks/bench_vpu_dtype.py
+# AOT artifact cache A/B (VERDICT 3): build once, then measure the
+# driver-view headline loading the executable from local disk
+run bench_headline_aot_build env BENCH_ARCHS=convtasnet \
+    BENCH_AOT_DIR=benchmarks/aot python bench.py
+run bench_headline_aot_load env BENCH_ARCHS=convtasnet \
+    BENCH_AOT_DIR=benchmarks/aot python bench.py
 echo "ALL DONE $(date -u)" >> "$LOG"
