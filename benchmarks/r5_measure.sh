@@ -37,6 +37,7 @@ run manner_census python benchmarks/hlo_census.py manner 24
 run manner_step python benchmarks/bench_models.py manner
 run tfgridnet_profile python benchmarks/profile_step.py tfgridnet
 run sgmsepm_census python benchmarks/hlo_census.py sgmsepm 24
+run sgmsepm_profile python benchmarks/profile_step.py sgmsepm
 run sgmsepm_step python benchmarks/bench_models.py sgmsepm
 run vpu_dtype python benchmarks/bench_vpu_dtype.py
 # AOT artifact cache A/B (VERDICT 3): build once, then measure the

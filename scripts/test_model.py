@@ -93,7 +93,8 @@ def test_model(args, model, variables, cfg, test_path, score_file,
         if args.pad_quantum else None
     dataloader = BreverDataLoader(dataset, sampler,
                                   num_workers=args.workers,
-                                  pad_to_multiple=pad_to_multiple)
+                                  pad_to_multiple=pad_to_multiple,
+                                  native=True)
 
     on_batch = None
     if args.output_dir is not None:
