@@ -117,6 +117,14 @@ def main():
         _pin_cpu_backend()
     from benchmarks.bench_models import DEFAULT_ARCHS, bench_all
 
+    # use the local AOT artifact cache when one was built (see
+    # bench_models._compile_maybe_aot): the driver-budget run then
+    # loads the serialized executable from disk instead of gambling
+    # on compile weather; a key mismatch falls back to compiling
+    aot_dir = os.path.join(here, 'benchmarks', 'aot')
+    if not cpu_fallback and os.path.isdir(aot_dir):
+        os.environ.setdefault('BENCH_AOT_DIR', aot_dir)
+
     if os.environ.get('BENCH_ARCHS'):
         archs = os.environ['BENCH_ARCHS'].split()
     elif os.environ.get('BENCH_FULL'):

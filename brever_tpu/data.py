@@ -456,6 +456,19 @@ class RandomMixtureMakerDataset:
             self.cfg = yaml.load(f, Loader=yaml.Loader)['rmm']
         from .mixture import RandomMixtureMaker
         self.rmm = RandomMixtureMaker(**self.cfg)
+        # shape-stability high-water marks for the device synth graph:
+        # every distinct (max_brir, max_noises, batch) triple is a
+        # fresh XLA compile — minutes each on a tunneled TPU backend,
+        # and they land MID-EPOCH (observed: 6 variants in the first
+        # e2e epochs). Both dims ratchet monotonically, so the variant
+        # count is bounded by the few distinct quantized sizes the
+        # workload can produce instead of per-batch rolls; buffers
+        # stay right-sized for the longest scene actually seen. The
+        # noise dim starts at the config's noise_num upper bound (it
+        # WILL be hit within an epoch anyway).
+        self._brir_cap = 4096
+        self._noise_cap = max(
+            self.cfg.get('noise_num', (0, 0))[-1], 1)
         self.set_epoch(0)
 
     def synthesize_batch(self, indices, pad_to_multiple=None):
@@ -539,10 +552,15 @@ class RandomMixtureMakerDataset:
         if pad_to_multiple:
             max_samples = -(-max_samples // pad_to_multiple) \
                 * pad_to_multiple
-        # quantize the BRIR buffer for compile-cache friendliness
+        # pin the BRIR/noise dims to the instance high-water marks
+        # (see __init__) so one synth graph serves every batch
         max_brir = -(-max_brir // 4096) * 4096
+        self._brir_cap = max(self._brir_cap, max_brir)
+        max_brir = self._brir_cap
         max_noises = max(
             (len(s['noises']) for s in scenes), default=0) or 1
+        self._noise_cap = max(self._noise_cap, max_noises)
+        max_noises = self._noise_cap
         packed = pack_scenes(scenes, max_samples, max_brir, max_noises,
                              max_diffuse=max_diffuse)
         ltas = None
