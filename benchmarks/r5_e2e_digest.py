@@ -39,6 +39,34 @@ def parse_train_log(model_dir):
     return epochs
 
 
+def parse_compiles(log_path):
+    """Summarize JAX_LOG_COMPILES events: per-executable count and
+    total/max seconds (the compile-weather evidence)."""
+    if not os.path.exists(log_path):
+        return None
+    pat = re.compile(
+        r'Finished XLA compilation of jit\(([A-Za-z_0-9]+)\) '
+        r'in ([0-9.]+) sec')
+    seen = set()
+    by_name = {}
+    with open(log_path) as f:
+        for line in f:
+            m = pat.search(line)
+            if not m:
+                continue
+            key = (m.group(1), m.group(2))
+            if key in seen:      # every event is logged twice
+                continue
+            seen.add(key)
+            name, sec = m.group(1), float(m.group(2))
+            entry = by_name.setdefault(
+                name, {'count': 0, 'total_s': 0.0, 'max_s': 0.0})
+            entry['count'] += 1
+            entry['total_s'] = round(entry['total_s'] + sec, 1)
+            entry['max_s'] = round(max(entry['max_s'], sec), 1)
+    return by_name or None
+
+
 def main():
     model_dir, test_dset = sys.argv[1], sys.argv[2]
     epochs = parse_train_log(model_dir)
@@ -58,6 +86,10 @@ def main():
         'train_curve': train_curve,
         'epoch_time_s_median_noval': float(np.median(times))
         if times else None,
+        'epoch_time_s_min': float(np.min(times)) if times else None,
+        'compiles': parse_compiles(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         'r5_e2e.log')),
     }
 
     score_file = os.path.join(model_dir, 'scores.hdf5')
