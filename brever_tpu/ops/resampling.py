@@ -31,13 +31,71 @@ def _depthwise_mode():
     full-tensor transpose copy on each side of every resample.
     ``group``: native ``feature_group_count=C`` conv in the tensor's
     own NHWC layout — no copies; XLA-TPU lowers grouped convs
-    directly. Default: ``group`` on TPU, ``fold`` elsewhere.
+    directly.
+    ``shift``: the FIR kernel is an outer product of one 1-D kernel
+    (see ``_fir_kernel_2d``), so the resample factors into two 1-D
+    passes of K strided-slice taps — pure elementwise multiply-adds
+    XLA fuses into neighbors, with no conv patch tensor.  The round-4
+    sgmse byte census attributed 64.5 GB/step of materialized pad:bf16
+    (buffers like ``bf16[256,32,63,384,3]``) to the grouped-conv
+    lowering of exactly these resamples.  Default: ``group`` on TPU,
+    ``fold`` elsewhere.
     """
     mode = os.environ.get('BREVER_RESAMPLE_MODE')
-    if mode in ('fold', 'group'):
+    if mode in ('fold', 'group', 'shift'):
         return mode
     import jax
     return 'group' if jax.default_backend() != 'cpu' else 'fold'
+
+
+def _fir_kernel_1d(fir_kernel):
+    k = np.asarray(fir_kernel, dtype=np.float32)
+    return k / k.sum()
+
+
+def _shift_down1d(x, w, pad, axis):
+    """1-D FIR + 2x decimation along ``axis`` via strided-slice taps:
+    ``y[i] = sum_k w[k] * x_pad[2*i + k]``."""
+    K = len(w)
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (pad, pad)
+    xp = jnp.pad(x, widths)
+    n = xp.shape[axis]
+    out_len = (n - K) // 2 + 1
+    y = None
+    for k in range(K):
+        lo = [0] * x.ndim
+        hi = list(xp.shape)
+        st = [1] * x.ndim
+        lo[axis] = k
+        hi[axis] = k + 2 * (out_len - 1) + 1
+        st[axis] = 2
+        tap = lax.slice(xp, lo, hi, st) * jnp.asarray(w[k], x.dtype)
+        y = tap if y is None else y + tap
+    return y
+
+
+def _shift_up1d(x, w, lo_pad, hi_pad, axis):
+    """1-D fractionally-strided FIR along ``axis``: zero-stuff 2x,
+    pad ``(lo_pad, hi_pad)``, then K unit-stride slice taps."""
+    K = len(w)
+    n = x.shape[axis]
+    # zero-stuff: (..., n, ...) -> (..., 2n-1, ...)
+    z = jnp.stack([x, jnp.zeros_like(x)], axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = 2 * n
+    z = z.reshape(shape)
+    z = lax.slice_in_dim(z, 0, 2 * n - 1, axis=axis)
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (lo_pad, hi_pad)
+    zp = jnp.pad(z, widths)
+    out_len = zp.shape[axis] - K + 1
+    y = None
+    for k in range(K):
+        tap = lax.slice_in_dim(zp, k, k + out_len, axis=axis) \
+            * jnp.asarray(w[k], x.dtype)
+        y = tap if y is None else y + tap
+    return y
 
 
 def _depthwise_conv(x, kernel2d, *, strides, padding, lhs_dilation,
@@ -110,12 +168,17 @@ def downsample_2d(x, fir_kernel, return_padding=False,
         else math.ceil((ksize + 1) / 2) - 1
         for dim in dims
     )
-    out, spec = _depthwise_conv(
-        x, kernel2d, strides=(2, 2),
-        padding=[(p, p) for p in padding], lhs_dilation=None,
-        c_axis=c_axis)
-    if spec is not None:
-        out = _unfold_channels(out, spec)
+    if _depthwise_mode() == 'shift':
+        w = _fir_kernel_1d(fir_kernel)
+        out = _shift_down1d(x, w, padding[0], spatial[0] % x.ndim)
+        out = _shift_down1d(out, w, padding[1], spatial[1] % x.ndim)
+    else:
+        out, spec = _depthwise_conv(
+            x, kernel2d, strides=(2, 2),
+            padding=[(p, p) for p in padding], lhs_dilation=None,
+            c_axis=c_axis)
+        if spec is not None:
+            out = _unfold_channels(out, spec)
     if return_padding:
         output_padding = tuple(
             0 if (dim + 2 * p - ksize) % 2 == 0 else 1
@@ -149,6 +212,12 @@ def upsample_2d(x, fir_kernel, padding=None, data_format='NCHW'):
     conv_padding = [
         (ksize - 1 - p, ksize - 1 - p + op) for p, op in zip(pad, out_pad)
     ]
+    if _depthwise_mode() == 'shift':
+        _, _, spatial = _layout(data_format)
+        w = _fir_kernel_1d(fir_kernel) * 2.0
+        out = _shift_up1d(x, w, *conv_padding[0], axis=spatial[0] % x.ndim)
+        out = _shift_up1d(out, w, *conv_padding[1], axis=spatial[1] % x.ndim)
+        return out
     out, spec = _depthwise_conv(
         x, kernel2d, strides=(1, 1), padding=conv_padding,
         lhs_dilation=(2, 2), c_axis=c_axis)

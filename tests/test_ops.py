@@ -253,6 +253,43 @@ def test_resampling_matches_torch():
     np.testing.assert_allclose(got_up, ref_up, atol=1e-5)
 
 
+@pytest.mark.parametrize('shape,fmt', [
+    ((2, 3, 17, 33), 'NCHW'),
+    ((2, 3, 16, 32), 'NCHW'),
+    ((2, 17, 33, 3), 'NHWC'),
+])
+def test_resampling_shift_mode_matches_conv(shape, fmt, monkeypatch):
+    """The ``shift`` mode (separable strided-slice taps, no conv patch
+    tensor) is numerically identical to the conv lowering for both
+    directions, odd and even shapes, values and gradients."""
+    import jax
+
+    from brever_tpu.ops import resampling as R
+
+    x = jnp.asarray(np.random.RandomState(3).randn(*shape)
+                    .astype('float32'))
+    kernel = (1, 3, 3, 1)
+
+    def both(mode):
+        monkeypatch.setenv('BREVER_RESAMPLE_MODE', mode)
+
+        def f(x):
+            down, padding = downsample_2d(
+                x, kernel, return_padding=True, data_format=fmt)
+            up = upsample_2d(down, kernel, padding, data_format=fmt)
+            return down, up
+
+        down, up = f(x)
+        g = jax.grad(lambda x: (f(x)[1] ** 2).sum())(x)
+        return np.asarray(down), np.asarray(up), np.asarray(g)
+
+    ref = both('fold')
+    got = both('shift')
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, atol=2e-5)
+    assert R._depthwise_mode() == 'shift'
+
+
 def test_pallas_stft_matches_jnp_interpret():
     """Fused Pallas STFT kernel == jnp path (interpreter mode on CPU)."""
     from unittest import mock
