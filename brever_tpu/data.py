@@ -380,11 +380,22 @@ class BreverDataLoader:
             and getattr(self.dataset, 'segment_length', 0) == 0
             and getattr(self.dataset, 'transform', None) is None
         )
+        # fixed-size samplers emit ragged remainder batches (bucket
+        # strategies especially: one remainder per bucket); each
+        # distinct scene count is a fresh synth-graph compile on the
+        # device path, so pad ragged batches back up to the sampler's
+        # nominal size (dynamic samplers budget by length, not count —
+        # the cap ratchet inside synthesize_batch bounds those)
+        synth_pad_b = None
+        if device_mix and not getattr(self.batch_sampler, 'dynamic', True):
+            synth_pad_b = int(getattr(self.batch_sampler, 'batch_size', 0)) \
+                or None
         for indices in self.batch_sampler:
             if device_mix:
                 # segment index == file index when segment_length == 0
                 yield self.dataset.rmm_dset.synthesize_batch(
-                    indices, self.pad_to_multiple)
+                    indices, self.pad_to_multiple,
+                    pad_batch_to=synth_pad_b)
                 continue
             if self.native:
                 yield self._native_batch(indices)
@@ -467,11 +478,27 @@ class RandomMixtureMakerDataset:
         # noise dim starts at the config's noise_num upper bound (it
         # WILL be hit within an epoch anyway).
         self._brir_cap = 4096
+        # pre-warm the BRIR cap from the config's decay bounds: the
+        # decay tail needs 2*(rt60+delay)*fs taps, and the uniform
+        # upper bounds are known at init — starting the ratchet there
+        # removes the early-epoch 8192->12288->16384 compile ladder
+        # the first e2e run paid (~17 s per rung over the tunnel)
+        if self.cfg.get('decay', False) \
+                and self.cfg.get('decay_rt60_dist_name', 'uniform') \
+                == 'uniform':
+            fs = self.cfg.get('fs', 16000)
+            rt60_hi = self.cfg.get('decay_rt60_dist_args', (0.1, 5.0))[-1]
+            delay_hi = self.cfg.get(
+                'decay_delay_dist_args', (0.075, 0.100))[-1]
+            taps = int(round(2 * (rt60_hi + delay_hi) * fs))
+            self._brir_cap = max(self._brir_cap, -(-taps // 4096) * 4096)
+        self._batch_cap = 1
         self._noise_cap = max(
             self.cfg.get('noise_num', (0, 0))[-1], 1)
         self.set_epoch(0)
 
-    def synthesize_batch(self, indices, pad_to_multiple=None):
+    def synthesize_batch(self, indices, pad_to_multiple=None,
+                         pad_batch_to=None):
         """Batched on-device synthesis of the given scene indices.
 
         Returns ``(batch (B, n_sources, 2, samples), lengths (B,))``.
@@ -548,7 +575,25 @@ class RandomMixtureMakerDataset:
                 scene['tmr'] = meta['tmr']
             scenes.append(scene)
 
-        max_samples = max(len(s['speech']) for s in scenes)
+        n_real = len(scenes)
+        # pad the scene batch up to the nominal sampler size (ratcheted
+        # so dynamic samplers converge too): every distinct scene count
+        # is its own synth-graph compile, and ragged bucket remainders
+        # produced 16 variants (43 compiles, 740 s) in the first e2e
+        # run. Pad rows repeat the last scene — synthesis is ~0.3 ms a
+        # scene on a v5e, so the waste is noise — and get length 0 so
+        # every masked consumer (losses, ffnn stats, weighted means)
+        # zero-weights them; rows == len(lengths) stays invariant.
+        self._batch_cap = max(self._batch_cap, pad_batch_to or n_real)
+        scenes.extend(scenes[-1:] * (self._batch_cap - n_real))
+
+        # sample-dim cap: short batches pad to the longest scene of
+        # any epoch rolled so far (seeded per-epoch in set_epoch, so
+        # ascending-sorted batch orders don't climb a ratchet one
+        # compile at a time); the synth graph and downstream train
+        # step keep one T signature, lengths mask the excess exactly
+        max_samples = max(self._samples_cap,
+                          max(len(s['speech']) for s in scenes))
         if pad_to_multiple:
             max_samples = -(-max_samples // pad_to_multiple) \
                 * pad_to_multiple
@@ -588,7 +633,8 @@ class RandomMixtureMakerDataset:
             [jnp.moveaxis(out[source], -1, -2) for source in self.sources],
             axis=1)
         lengths = np.array(
-            [len(s['speech']) for s in scenes], np.int32)
+            [len(s['speech']) if i < n_real else 0
+             for i, s in enumerate(scenes)], np.int32)
         return batch, lengths
 
     def set_epoch(self, epoch):
@@ -601,6 +647,11 @@ class RandomMixtureMakerDataset:
         for _ in range(self.size):
             self.rmm.metadata.roll()
             self._metadatas.append(self.rmm.metadata.get())
+        # seed the device-synth sample cap with this epoch's longest
+        # scene (lengths are known as soon as the metadata is rolled)
+        self._samples_cap = max(
+            getattr(self, '_samples_cap', 0),
+            max(self.file_lengths, default=0))
 
     def __getitem__(self, index):
         mix = self.rmm.make_from_metadata(self._metadatas[index])

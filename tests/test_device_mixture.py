@@ -190,6 +190,75 @@ def test_device_dynamic_mixing_loader(tmp_path):
         os.chdir(cwd)
 
 
+def test_device_mixing_pads_ragged_batches(tmp_path):
+    """Ragged sampler remainders are padded to the nominal batch size
+    so the synth graph keeps ONE compile signature (the first e2e TPU
+    run paid 43 synthesize_batch compiles / 740 s to bucket-sampler
+    remainders); lengths cover only the real rows."""
+    import os
+    import yaml
+    from brever_tpu.batching import SortedBatchSampler
+    from brever_tpu.data import BreverDataLoader, BreverDataset
+    from brever_tpu.mixture.synthetic import make_synthetic_speech_corpus
+
+    corpus = tmp_path / 'corpus'
+    make_synthetic_speech_corpus(str(corpus), n_speakers=2,
+                                 files_per_speaker=2, seed=0)
+    cfg_dir = tmp_path / 'config'
+    os.makedirs(cfg_dir)
+    with open(cfg_dir / 'paths.yaml', 'w') as f:
+        yaml.dump({'SYNTH': str(corpus)}, f)
+    dset_dir = tmp_path / 'dset'
+    os.makedirs(dset_dir)
+    rmm_cfg = dict(
+        fs=16000, seed=0,
+        speakers=['synth_.*'], noises=['colored_pink'],
+        rooms=['synthetic_.*'], decay=True,
+        decay_rt60_dist_args=[0.1, 0.2], noise_num=[1, 2],
+    )
+    with open(dset_dir / 'config.yaml', 'w') as f:
+        yaml.dump({'rmm': rmm_cfg}, f)
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        import brever_tpu.mixture.io as mio
+        orig = mio.AudioFileLoader.__init__
+        paths_file = str(cfg_dir / 'paths.yaml')
+
+        def patched(self, fs=16e3, resample=True, _p=paths_file, **kw):
+            orig(self, fs=fs, resample=resample, paths_file=_p)
+
+        mio.AudioFileLoader.__init__ = patched
+        try:
+            ds = BreverDataset(
+                path=str(dset_dir), dynamic_mixing=True,
+                dynamic_mixtures_per_epoch=5,
+                dynamic_mixing_device=True)
+        finally:
+            mio.AudioFileLoader.__init__ = orig
+        # BRIR cap pre-warmed from the decay config bounds at init
+        fs = 16000
+        taps = int(round(2 * (0.2 + 0.1) * fs))
+        assert ds.rmm_dset._brir_cap >= -(-taps // 4096) * 4096
+        sampler = SortedBatchSampler(ds, batch_size=2, shuffle=False)
+        loader = BreverDataLoader(ds, sampler, pad_to_multiple=4000)
+        shapes, real_rows = [], []
+        for batch, lengths in loader:
+            shapes.append(tuple(np.asarray(batch).shape))
+            # rows == len(lengths) invariant; pad rows have length 0
+            assert np.asarray(batch).shape[0] == len(lengths)
+            real_rows.append(int((np.asarray(lengths) > 0).sum()))
+            assert np.isfinite(np.asarray(batch)).all()
+        # 5 scenes / batch 2 -> 2 full + 1 remainder, all padded to 2
+        assert [s[0] for s in shapes] == [2, 2, 2]
+        assert real_rows == [2, 2, 1]
+        # one synth signature for the whole epoch
+        assert len(set(shapes)) == 1
+    finally:
+        os.chdir(cwd)
+
+
 def _simple_scene_args(rng, n=8000, k_diffuse=3):
     speech = rng.randn(n).astype('float32')
     brir = np.zeros((400, 2), dtype='float32')
