@@ -69,6 +69,7 @@ def parse_compiles(log_path):
 
 def main():
     model_dir, test_dset = sys.argv[1], sys.argv[2]
+    out_name = sys.argv[3] if len(sys.argv) > 3 else 'r5_e2e_digest.json'
     epochs = parse_train_log(model_dir)
 
     losses = np.load(os.path.join(model_dir, 'losses.npz'),
@@ -87,9 +88,10 @@ def main():
         'epoch_time_s_median_noval': float(np.median(times))
         if times else None,
         'epoch_time_s_min': float(np.min(times)) if times else None,
-        'compiles': parse_compiles(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         'r5_e2e.log')),
+        'compiles': parse_compiles(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            os.path.basename(out_name).replace('_digest.json', '.log')
+            if out_name.endswith('_digest.json') else 'r5_e2e.log')),
     }
 
     score_file = os.path.join(model_dir, 'scores.hdf5')
@@ -117,7 +119,7 @@ def main():
 
     print(json.dumps(summary, indent=1))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       'r5_e2e_digest.json')
+                       os.path.basename(out_name))
     with open(out, 'w') as f:
         json.dump(summary, f, indent=1)
 

@@ -17,19 +17,48 @@ from ..audio import write_wav
 
 
 def _speech_like(rng, n, fs):
-    """Harmonic source + slow AM envelope + random formant resonances."""
+    """Broadband speech-like signal: formant-filtered harmonic voicing
+    plus fricative-like noise bursts, under a syllabic envelope.
+
+    The round-5 e2e run showed why broadband matters: the original
+    8-harmonic version (f0 <= 250 Hz -> all energy below 2 kHz) left
+    10 of ESTOI's 15 third-octave bands without target energy, making
+    the metric degenerate on the corpus (clean + 14 dB white noise
+    scored 0.18-0.32).  The voiced part now carries 32 harmonics
+    shaped by random formant resonances (300-3500 Hz) and the unvoiced
+    part fills 1.5-7 kHz, so intelligibility metrics see signal in
+    every band they weight.
+    """
     t = np.arange(n) / fs
     f0 = rng.uniform(90, 250)
-    source = sum(
-        rng.uniform(0.3, 1.0) / (k + 1) * np.sin(2 * np.pi * f0 * (k + 1) * t)
-        for k in range(8)
-    )
-    # syllabic envelope ~4 Hz with pauses
+    k = np.arange(1, 33)[:, None]                    # 32 harmonics
+    amps = rng.uniform(0.3, 1.0, size=(32, 1)) / k
+    phases = rng.uniform(0, 2 * np.pi, size=(32, 1))
+    voiced = (amps * np.sin(2 * np.pi * f0 * k * t[None] + phases)) \
+        .sum(axis=0)
+    # formant emphasis: 3 random Lorentzian resonances + gentle tilt
+    spec = np.fft.rfft(voiced)
+    freqs = np.fft.rfftfreq(n, 1 / fs)
+    h = np.full_like(freqs, 0.05)
+    for centre, bw in zip(rng.uniform(300, 3500, 3),
+                          rng.uniform(80, 300, 3)):
+        h += 1.0 / (1.0 + ((freqs - centre) / bw) ** 2)
+    h *= np.exp(-freqs / 6000)                       # spectral tilt
+    voiced = np.fft.irfft(spec * h, n)
+    voiced /= np.abs(voiced).max() + 1e-9
+    # fricative-like unvoiced component: band-limited noise 1.5-7 kHz
+    noise_spec = np.fft.rfft(rng.randn(n))
+    band = 1.0 / (1.0 + np.exp(-(freqs - 1500) / 200))
+    band *= 1.0 / (1.0 + np.exp((freqs - 7000) / 300))
+    unvoiced = np.fft.irfft(noise_spec * band, n)
+    unvoiced /= np.abs(unvoiced).max() + 1e-9
+    # syllabic envelope ~4 Hz with pauses; unvoiced bursts fill the
+    # voiced envelope's troughs (consonant-vowel alternation)
     env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(2.5, 5.0) * t
                             + rng.uniform(0, 2 * np.pi)))
     gate = (np.sin(2 * np.pi * rng.uniform(0.3, 0.8) * t
                    + rng.uniform(0, 2 * np.pi)) > -0.7).astype(float)
-    x = source * env**1.5 * gate
+    x = (voiced * env**1.5 + 0.35 * unvoiced * (1 - env)**2) * gate
     # light noise floor so silence is not digital zero
     x = x + 1e-4 * rng.randn(n)
     x = x / np.abs(x).max() * 0.5
