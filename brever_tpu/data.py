@@ -507,7 +507,6 @@ class RandomMixtureMakerDataset:
         import jax.numpy as jnp
 
         from .mixture.device import pack_scenes, synthesize_batch
-        from .mixture.dsp import colored_noise
         import re as _re
 
         from .mixture.dsp import NOISE_COLORS
@@ -520,7 +519,8 @@ class RandomMixtureMakerDataset:
             self.cfg.get('diffuse_ltas_eq', False))
         use_tmr = bool(self.cfg.get('uniform_tmr', False))
         scenes = []
-        max_brir = 1
+        max_brir = 1        # real BRIR taps (what the host ships)
+        decay_taps = 0      # decay-tail headroom (extended in-graph)
         max_diffuse = 0
         any_snr = any_ndr = False
         for i in indices:
@@ -529,17 +529,23 @@ class RandomMixtureMakerDataset:
             brir, _ = loader.load_brirs(
                 meta['room'], meta['target']['angle'])
             max_brir = max(max_brir, len(brir))
-            noises, noise_brirs = [], []
+            noises, noise_brirs, noise_colors = [], [], []
             for noise in meta.get('noises', []):
                 kind = noise['type']
                 if kind.startswith('colored_'):
+                    # synthesized ON DEVICE (1/f^alpha from the scene
+                    # key): the host-side FFT synthesis was 152 ms per
+                    # batch-16 on this one-core host — the whole
+                    # scene-prep budget
                     color = _re.match('^colored_(.*)$', kind).group(1)
-                    x = colored_noise(color, len(speech))
+                    x = None
+                    noise_colors.append(float(NOISE_COLORS[color]))
                 else:
                     x = loader.load_noise(
                         file=noise['file'], n_samples=len(speech),
                         i_start=noise['i_start'], i_min=noise['i_min'],
                         i_max=noise['i_max'])
+                    noise_colors.append(None)
                 nb, _ = loader.load_brirs(meta['room'], noise['angle'])
                 max_brir = max(max_brir, len(nb))
                 noises.append(x)
@@ -549,6 +555,7 @@ class RandomMixtureMakerDataset:
                 'target_brir': brir,
                 'noises': noises,
                 'noise_brirs': noise_brirs,
+                'noise_colors': noise_colors,
                 'snr': meta.get('snr', 0.0),
                 'rms_jitter': meta.get('rms_jitter', 0.0),
             }
@@ -557,8 +564,8 @@ class RandomMixtureMakerDataset:
                 d = meta['decay']
                 scene['decay'] = (d['rt60'], d['drr'], d['delay'],
                                   float(NOISE_COLORS[d['color']]))
-                max_brir = max(
-                    max_brir,
+                decay_taps = max(
+                    decay_taps,
                     int(round(2 * (d['rt60'] + d['delay']) * fs)))
             if use_diffuse and 'diffuse' in meta:
                 room_brirs, _ = loader.load_brirs(meta['room'])
@@ -598,23 +605,36 @@ class RandomMixtureMakerDataset:
             max_samples = -(-max_samples // pad_to_multiple) \
                 * pad_to_multiple
         # pin the BRIR/noise dims to the instance high-water marks
-        # (see __init__) so one synth graph serves every batch
-        max_brir = -(-max_brir // 4096) * 4096
-        self._brir_cap = max(self._brir_cap, max_brir)
-        max_brir = self._brir_cap
+        # (see __init__) so one synth graph serves every batch. The
+        # host ships BRIRs at their (quantized) true data length; the
+        # decay-tail headroom is zero-extended IN-GRAPH
+        # (brir_total_len), so 6 MB/batch of zero padding never
+        # crosses the tunnel.
+        max_brir = -(-max_brir // 128) * 128
+        self._brir_data_cap = max(
+            getattr(self, '_brir_data_cap', 128), max_brir)
+        max_brir = self._brir_data_cap
+        if use_decay and decay_taps:
+            self._brir_cap = max(
+                self._brir_cap, -(-decay_taps // 4096) * 4096)
+        brir_total_len = max(self._brir_cap, max_brir) \
+            if use_decay else None
         max_noises = max(
             (len(s['noises']) for s in scenes), default=0) or 1
         self._noise_cap = max(self._noise_cap, max_noises)
         max_noises = self._noise_cap
         packed = pack_scenes(scenes, max_samples, max_brir, max_noises,
                              max_diffuse=max_diffuse)
+        use_device_noise = packed.get('noise_color_masks') is not None \
+            and packed['noise_color_masks'].any()
         ltas = None
         if use_ltas and self.rmm.ltas is not None:
             ltas = jnp.asarray(self.rmm.ltas, jnp.float32)
         key = jax.random.fold_in(
             jax.random.PRNGKey(self._epoch), int(indices[0]))
         out = synthesize_batch(
-            key, **{k: jnp.asarray(v) for k, v in packed.items()},
+            key, **{k: (jnp.asarray(v) if v is not None else None)
+                    for k, v in packed.items()},
             ltas=ltas,
             fs=fs,
             reflection_boundary=self.cfg.get('reflection_boundary', 0.05),
@@ -625,6 +645,8 @@ class RandomMixtureMakerDataset:
             use_ndr=any_ndr,
             use_tmr=use_tmr,
             use_snr=any_snr,
+            use_device_noise=bool(use_device_noise),
+            brir_total_len=brir_total_len,
         )
         # (B, samples, 2) components -> (B, n_sources, 2, samples).
         # Stays a device array: the trainer pads/shards it without a

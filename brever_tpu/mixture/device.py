@@ -285,7 +285,8 @@ def synthesize_scene(rng, speech, speech_length, target_brir,
 @partial(jax.jit, static_argnames=('fs', 'reflection_boundary', 'pad',
                                    'use_decay', 'use_diffuse',
                                    'use_ltas', 'use_ndr', 'use_tmr',
-                                   'use_snr'))
+                                   'use_snr', 'use_device_noise',
+                                   'brir_total_len'))
 def synthesize_batch(rng, speech, speech_lengths, target_brirs,
                      target_brir_lengths, noises, noise_brirs,
                      noise_brir_lengths, noise_masks, snrs, rms_jitters,
@@ -293,16 +294,64 @@ def synthesize_batch(rng, speech, speech_lengths, target_brirs,
                      decay_color_alpha=None,
                      diffuse_brirs=None, diffuse_brir_lengths=None,
                      diffuse_masks=None, diffuse_color_alpha=None,
-                     ltas=None, ndrs=None, tmrs=None, fs=16000,
+                     ltas=None, ndrs=None, tmrs=None,
+                     noise_color_alphas=None, noise_color_masks=None,
+                     fs=16000,
                      reflection_boundary=0.05, pad=0, use_decay=False,
                      use_diffuse=False, use_ltas=False, use_ndr=False,
-                     use_tmr=False, use_snr=True):
+                     use_tmr=False, use_snr=True,
+                     use_device_noise=False, brir_total_len=None):
     """Batched scene synthesis; every argument carries a leading batch
     axis (``ltas`` is shared: (n_fft//2+1,)). Returns a dict of
-    (batch, samples, 2) arrays."""
+    (batch, samples, 2) arrays.
+
+    Host-transfer minimizers (both optional, both measured against the
+    first e2e TPU run where host noise synthesis was 152 ms/batch and
+    the decay-padded BRIR buffers 6 MB/batch of h2d):
+
+    * ``use_device_noise``: entries flagged in ``noise_color_masks``
+      are synthesized ON DEVICE as 1/f^alpha noise
+      (``noise_color_alphas``) instead of being read from ``noises``;
+      pass ``noises=None`` when every noise is device-generated and
+      the zero buffer is created in-graph (no transfer at all).
+    * ``brir_total_len``: BRIR buffers arrive packed at their true
+      data length and are zero-extended to this static total length
+      IN-GRAPH (the decay tail writes into the extension), so the
+      host never ships the mostly-zero decay headroom.
+    """
     batch = speech.shape[0]
     keys = jax.random.split(rng, batch)
     zeros = jnp.zeros(batch)
+
+    if brir_total_len is not None \
+            and brir_total_len > target_brirs.shape[1]:
+        grow = brir_total_len - target_brirs.shape[1]
+        target_brirs = jnp.pad(
+            target_brirs, ((0, 0), (0, grow), (0, 0)))
+        noise_brirs = jnp.pad(
+            noise_brirs, ((0, 0), (0, 0), (0, grow), (0, 0)))
+        if diffuse_brirs is not None:
+            diffuse_brirs = jnp.pad(
+                diffuse_brirs, ((0, 0), (0, 0), (0, grow), (0, 0)))
+
+    if use_device_noise:
+        if noises is None:
+            noises = jnp.zeros(
+                (batch, noise_color_masks.shape[1], speech.shape[1]),
+                speech.dtype)
+        n_samples = noises.shape[-1]
+
+        def gen_row(key, alphas, sp_len):
+            ks = jax.random.split(
+                jax.random.fold_in(key, 110), alphas.shape[0])
+            nz = jax.vmap(
+                lambda kk, a: colored_noise(kk, a, n_samples))(ks, alphas)
+            return nz * (jnp.arange(n_samples)[None, :] < sp_len)
+
+        gen = jax.vmap(gen_row)(keys, noise_color_alphas,
+                                speech_lengths)
+        noises = jnp.where(noise_color_masks[..., None] > 0, gen,
+                           noises)
 
     if not use_decay:
         decay_rt60 = decay_drr = decay_delay = decay_color_alpha = zeros
@@ -354,6 +403,13 @@ def pack_scenes(scenes, max_samples, max_brir, max_noises,
     optional 'diffuse_brirs': [(m_i, 2)...] (+ 'diffuse_color_alpha'),
     optional 'ndr'/'tmr' floats}. ``max_diffuse`` > 0 adds the diffuse
     arrays.
+
+    Optional 'noise_colors': list aligned with 'noises' where a
+    non-None entry is the 1/f^alpha exponent of a noise to synthesize
+    ON DEVICE (`synthesize_batch(use_device_noise=True)`); the
+    corresponding 'noises' entry may be None (no host waveform). When
+    any scene carries it, the packed dict gains
+    ``noise_color_alphas``/``noise_color_masks``.
     """
     batch = len(scenes)
     speech = np.zeros((batch, max_samples), np.float32)
@@ -375,6 +431,12 @@ def pack_scenes(scenes, max_samples, max_brir, max_noises,
         diffuse_color_alpha = np.zeros(batch, np.float32)
     ndrs = np.zeros(batch, np.float32)
     tmrs = np.full(batch, 0.5, np.float32)
+    any_colors = any(
+        c is not None
+        for scene in scenes
+        for c in scene.get('noise_colors', []))
+    noise_color_alphas = np.zeros((batch, max_noises), np.float32)
+    noise_color_masks = np.zeros((batch, max_noises), np.float32)
 
     for i, scene in enumerate(scenes):
         n = len(scene['speech'])
@@ -383,11 +445,17 @@ def pack_scenes(scenes, max_samples, max_brir, max_noises,
         m = len(scene['target_brir'])
         target_brirs[i, :m] = scene['target_brir']
         target_brir_lengths[i] = m
+        colors = scene.get('noise_colors', [])
         for j, (noise, brir) in enumerate(
                 zip(scene.get('noises', []),
                     scene.get('noise_brirs', []))):
-            k = min(len(noise), max_samples)
-            noises[i, j, :k] = noise[:k]
+            alpha = colors[j] if j < len(colors) else None
+            if alpha is not None:
+                noise_color_alphas[i, j] = alpha
+                noise_color_masks[i, j] = 1.0
+            else:
+                k = min(len(noise), max_samples)
+                noises[i, j, :k] = noise[:k]
             mb = len(brir)
             noise_brirs[i, j, :mb] = brir
             noise_brir_lengths[i, j] = mb
@@ -426,4 +494,11 @@ def pack_scenes(scenes, max_samples, max_brir, max_noises,
             diffuse_masks=diffuse_masks,
             diffuse_color_alpha=diffuse_color_alpha,
         )
+    if any_colors:
+        out.update(noise_color_alphas=noise_color_alphas,
+                   noise_color_masks=noise_color_masks)
+        if noise_color_masks.sum() == noise_masks.sum():
+            # every active noise is device-generated: drop the zero
+            # waveform buffer, synthesize_batch creates it in-graph
+            out['noises'] = None
     return out
