@@ -111,15 +111,21 @@ def _compile_maybe_aot(arch, lowered):
     import hashlib
     import pickle
 
+    t0 = time.perf_counter()
     key = hashlib.sha256(
         (jax.__version__ + lowered.as_text()).encode()).hexdigest()[:16]
+    _progress(f'{arch}: AOT key took {time.perf_counter() - t0:.1f}s')
     path = os.path.join(aot_dir, f'{arch}_{key}.aot')
+    _progress(f'{arch}: AOT key {key} '
+              f'({"hit" if os.path.exists(path) else "miss"})')
     if os.path.exists(path):
         from jax.experimental.serialize_executable import (
             deserialize_and_load)
         t0 = time.perf_counter()
         with open(path, 'rb') as f:
             payload = pickle.load(f)
+        _progress(f'{arch}: AOT deserializing '
+                  f'({len(payload["bytes"]) / 1e6:.1f} MB)')
         compiled = deserialize_and_load(
             payload['bytes'], payload['in_tree'], payload['out_tree'])
         _progress(f'{arch}: AOT load {time.perf_counter() - t0:.1f}s '
