@@ -6,6 +6,7 @@ Channels-last convention: model internals keep tensors as
 """
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.normalization import causal_group_norm
@@ -35,6 +36,80 @@ def batch_norm(x, train, name, momentum=0.99, epsilon=1e-5):
     out = nn.BatchNorm(use_running_average=not train, momentum=momentum,
                        epsilon=epsilon, name=name)(x)
     return out.astype(x.dtype)
+
+
+#: minimum activation bytes before batch_norm_act routes through the
+#: Pallas kernel (below this, dispatch overhead beats the byte savings)
+_FUSED_BN_MIN_BYTES = 2 * 1024 * 1024
+
+
+def batch_norm_act(x, train, name, act='none', momentum=0.99,
+                   epsilon=1e-5):
+    """BatchNorm fused with its trailing activation (flash-BN).
+
+    Parameter and ``batch_stats`` trees are identical to
+    ``batch_norm(name=name)`` (checkpoints interchange freely).  In
+    train mode on the TPU backend, large tensors route through the
+    flash-GN Pallas kernel by viewing the ``(..., C)`` tensor as a
+    single GroupNorm row ``(1, prod(...), C)`` with ``num_groups=C`` —
+    identical statistics (fast-variance form, like flax) and gradient,
+    but HBM traffic is 3 passes fwd / 5 bwd at the input dtype instead
+    of XLA's materialized multi-consumer f32 intermediates (the round-5
+    MANNER byte census motivated this: see PERF.md).  Stats keep
+    feeding the running-average update (no gradient, like flax).
+    """
+
+    class _FusedBN(nn.Module):
+
+        @nn.compact
+        def __call__(self, x, train):
+            from ..ops.pallas.groupnorm import (
+                gn_act_stats_pallas,
+                gn_pallas_available,
+            )
+            c = x.shape[-1]
+            scale = self.param('scale', nn.initializers.ones, (c,))
+            bias = self.param('bias', nn.initializers.zeros, (c,))
+            ra_mean = self.variable('batch_stats', 'mean',
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable('batch_stats', 'var',
+                                   lambda: jnp.ones((c,), jnp.float32))
+            use_kernel = (
+                train and gn_pallas_available()
+                and x.size * x.dtype.itemsize >= _FUSED_BN_MIN_BYTES)
+            if use_kernel:
+                x3 = x.reshape(1, -1, c)
+                # affine in the trunk dtype so the kernel writes y at
+                # the trunk width (it upcasts to f32 internally)
+                y, mean_g, rstd_g = gn_act_stats_pallas(
+                    x3, scale.astype(x.dtype), bias.astype(x.dtype),
+                    c, epsilon, act)
+                y = y.reshape(x.shape)
+                mean = mean_g.reshape(c)
+                var = 1.0 / (rstd_g.reshape(c) ** 2) - epsilon
+            else:
+                if train:
+                    x32 = x.astype(jnp.float32)
+                    axes = tuple(range(x.ndim - 1))
+                    mean = x32.mean(axis=axes)
+                    var = (x32 * x32).mean(axis=axes) - mean * mean
+                else:
+                    mean, var = ra_mean.value, ra_var.value
+                inv = scale * jax.lax.rsqrt(var + epsilon)
+                y = ((x.astype(jnp.float32) - mean) * inv + bias) \
+                    .astype(x.dtype)
+                if act == 'relu':
+                    y = nn.relu(y)
+                elif act == 'silu':
+                    y = y * jax.nn.sigmoid(y)
+            if train and not self.is_initializing():
+                ra_mean.value = momentum * ra_mean.value \
+                    + (1 - momentum) * jax.lax.stop_gradient(mean)
+                ra_var.value = momentum * ra_var.value \
+                    + (1 - momentum) * jax.lax.stop_gradient(var)
+            return y
+
+    return _FusedBN(name=name)(x, train)
 
 
 class GlobalLayerNorm(nn.Module):

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..ops import STFT
 from ..ops.stft import frame_signal, overlap_add
 from .base import BreverBaseModel, ModelRegistry
-from .common import DepthwiseConv1D, batch_norm
+from .common import DepthwiseConv1D, batch_norm_act
 
 
 # ---------------------------------------------------------------------------
@@ -171,14 +171,26 @@ class _PConvTranspose(nn.Module):
         return y + jnp.repeat(b, 2).astype(y.dtype)
 
 
-def packed_batch_norm(x, train, name, momentum=0.99, epsilon=1e-5):
+def packed_batch_norm(x, train, name, act='none', momentum=0.99,
+                      epsilon=1e-5):
     """``batch_norm`` over a packed tensor with per-LOGICAL-channel
     parameters and running statistics (phase statistics averaged —
-    exact, both phases count B*U elements)."""
+    exact, both phases count B*U elements), optionally fused with the
+    trailing activation.
+
+    The packed pair (c*2, c*2+1) is a contiguous 2-channel group, so on
+    TPU in train mode this is exactly the flash-GN kernel over
+    ``(1, B*U, 2C)`` with ``num_groups=C`` (see
+    ``common.batch_norm_act``)."""
 
     class _PackedBN(nn.Module):
         @nn.compact
         def __call__(self, x, train):
+            from ..ops.pallas.groupnorm import (
+                gn_act_stats_pallas,
+                gn_pallas_available,
+            )
+            from .common import _FUSED_BN_MIN_BYTES
             c = x.shape[-1] // 2
             scale = self.param('scale', nn.initializers.ones, (c,))
             bias = self.param('bias', nn.initializers.zeros, (c,))
@@ -186,25 +198,42 @@ def packed_batch_norm(x, train, name, momentum=0.99, epsilon=1e-5):
                                     lambda: jnp.zeros((c,), jnp.float32))
             ra_var = self.variable('batch_stats', 'var',
                                    lambda: jnp.ones((c,), jnp.float32))
-            if train:
-                x32 = x.astype(jnp.float32)
-                axes = tuple(range(x.ndim - 1))
-                m_p = x32.mean(axis=axes)          # (2C,)
-                m2_p = (x32 * x32).mean(axis=axes)
-                mean = m_p.reshape(c, 2).mean(-1)
-                var = m2_p.reshape(c, 2).mean(-1) - mean**2
-                if not self.is_initializing():
-                    ra_mean.value = momentum * ra_mean.value \
-                        + (1 - momentum) * mean
-                    ra_var.value = momentum * ra_var.value \
-                        + (1 - momentum) * var
+            use_kernel = (
+                train and gn_pallas_available()
+                and x.size * x.dtype.itemsize >= _FUSED_BN_MIN_BYTES)
+            if use_kernel:
+                x3 = x.reshape(1, -1, 2 * c)
+                out, mean_g, rstd_g = gn_act_stats_pallas(
+                    x3, jnp.repeat(scale, 2).astype(x.dtype),
+                    jnp.repeat(bias, 2).astype(x.dtype),
+                    c, epsilon, act)
+                out = out.reshape(x.shape)
+                mean = mean_g.reshape(c)
+                var = 1.0 / (rstd_g.reshape(c) ** 2) - epsilon
             else:
-                mean, var = ra_mean.value, ra_var.value
-            inv = scale * jax.lax.rsqrt(var + epsilon)
-            out = (x.astype(jnp.float32)
-                   - jnp.repeat(mean, 2)) * jnp.repeat(inv, 2) \
-                + jnp.repeat(bias, 2)
-            return out.astype(x.dtype)
+                if train:
+                    x32 = x.astype(jnp.float32)
+                    axes = tuple(range(x.ndim - 1))
+                    m_p = x32.mean(axis=axes)          # (2C,)
+                    m2_p = (x32 * x32).mean(axis=axes)
+                    mean = m_p.reshape(c, 2).mean(-1)
+                    var = m2_p.reshape(c, 2).mean(-1) - mean**2
+                else:
+                    mean, var = ra_mean.value, ra_var.value
+                inv = scale * jax.lax.rsqrt(var + epsilon)
+                out = ((x.astype(jnp.float32)
+                        - jnp.repeat(mean, 2)) * jnp.repeat(inv, 2)
+                       + jnp.repeat(bias, 2)).astype(x.dtype)
+                if act == 'relu':
+                    out = nn.relu(out)
+                elif act == 'silu':
+                    out = out * jax.nn.sigmoid(out)
+            if train and not self.is_initializing():
+                ra_mean.value = momentum * ra_mean.value \
+                    + (1 - momentum) * jax.lax.stop_gradient(mean)
+                ra_var.value = momentum * ra_var.value \
+                    + (1 - momentum) * jax.lax.stop_gradient(var)
+            return out
 
     return _PackedBN(name=name)(x, train)
 
@@ -221,20 +250,21 @@ class _BasicConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        act = 'relu' if self.relu else 'none'
         if self.pack:
             x = _PConv(self.features, self.kernel, self.stride,
                        self.padding, use_bias=self.use_bias,
                        name='conv')(x)
             if self.bn:
-                x = packed_batch_norm(x, train, 'bn')
+                x = packed_batch_norm(x, train, 'bn', act=act)
         else:
             x = nn.Conv(self.features, (self.kernel,),
                         strides=(self.stride,),
                         padding=((self.padding, self.padding),),
                         use_bias=self.use_bias, name='conv')(x)
             if self.bn:
-                x = batch_norm(x, train, 'bn')
-        if self.relu:
+                x = batch_norm_act(x, train, 'bn', act=act)
+        if self.relu and not self.bn:
             x = nn.relu(x)
         return x
 
@@ -252,8 +282,8 @@ class _ResConBlock(nn.Module):
     def __call__(self, x, train=False):
         out1 = int(self.in_channels * self.growth1)
         out2 = int(self.in_channels * self.growth2)
+        bn = packed_batch_norm if self.pack else batch_norm_act
         if self.pack:
-            bn = packed_batch_norm
             pad = (self.kernel - 1) // 2
             h = _PConv(out1, 1, use_bias=True, name='pw1')(x)
             h = bn(h, train, 'pw1_bn')
@@ -265,7 +295,6 @@ class _ResConBlock(nn.Module):
                        groups=self.in_channels, use_bias=False,
                        name='depthwise')(h)
         else:
-            bn = batch_norm
             h = nn.Conv(out1, (1,), use_bias=True, name='pw1')(x)
             h = bn(h, train, 'pw1_bn')
             a, b = jnp.split(h, 2, axis=-1)
@@ -278,14 +307,12 @@ class _ResConBlock(nn.Module):
                 features=self.in_channels, kernel_size=self.kernel,
                 padding=(pad, pad), use_bias=False,
                 name='depthwise')(h)
-        h = bn(h, train, 'dw_bn')
-        h = h * jax.nn.sigmoid(h)  # swish
+        h = bn(h, train, 'dw_bn', act='silu')  # swish fused into the BN
         if self.pack:
             h = _PConv(out2, 1, use_bias=True, name='pw2')(h)
         else:
             h = nn.Conv(out2, (1,), use_bias=True, name='pw2')(h)
-        h = bn(h, train, 'pw2_bn')
-        h = h * jax.nn.sigmoid(h)
+        h = bn(h, train, 'pw2_bn', act='silu')
         h = _BasicConv(out2, relu=False, pack=self.pack,
                        name='out_conv')(h, train)
         short = _BasicConv(out2, relu=False, pack=self.pack,
@@ -369,8 +396,7 @@ class _LocalAttention(nn.Module):
         h = DepthwiseConv1D(features=ch, kernel_size=31,
                             padding=(pad, pad), use_bias=False,
                             name='depthwise')(h)
-        h = batch_norm(h, train, 'dw_bn')
-        h = h * jax.nn.sigmoid(h)
+        h = batch_norm_act(h, train, 'dw_bn', act='silu')
         # stats over channels -> (B*P, chunk, 2)
         pooled = jnp.stack([h.max(axis=-1), h.mean(axis=-1)], axis=-1)
         gate = _BasicConv(1, kernel=7, padding=3, relu=False,
@@ -470,12 +496,11 @@ class _MannerModule(nn.Module):
             b, t, _ = h.shape
             h = h.reshape(b, t // 2, 2)  # pack Cin=1
             h = _PConv(self.hidden, 3, padding=1, name='in_conv')(h)
-            h = packed_batch_norm(h, train, 'in_bn')
+            h = packed_batch_norm(h, train, 'in_bn', act='relu')
         else:
             h = nn.Conv(self.hidden, (3,), padding=((1, 1),),
                         name='in_conv')(h)
-            h = batch_norm(h, train, 'in_bn')
-        h = nn.relu(h)
+            h = batch_norm_act(h, train, 'in_bn', act='relu')
         enc_out = h
 
         in_ch = self.in_channels * self.hidden
@@ -494,9 +519,8 @@ class _MannerModule(nn.Module):
                             strides=(self.stride,), padding='VALID',
                             name=f'enc_{layer}_down')(h)
             lvl_pk = pk and layer == 0
-            h = (packed_batch_norm if lvl_pk else batch_norm)(
-                h, train, f'enc_{layer}_bn')
-            h = nn.relu(h)
+            h = (packed_batch_norm if lvl_pk else batch_norm_act)(
+                h, train, f'enc_{layer}_bn', act='relu')
             h = _ResConBlock(in_ch, growth1=2, growth2=2, pack=lvl_pk,
                              name=f'enc_{layer}_rescon')(h, train)
             if layer == self.depth - 1:
@@ -523,13 +547,14 @@ class _MannerModule(nn.Module):
                 h = _PConvTranspose(dec_out, self.kernel_size,
                                     self.stride, in_pack=(layer == 0),
                                     name=f'dec_{layer}_up')(h)
-                h = packed_batch_norm(h, train, f'dec_{layer}_up_bn')
+                h = packed_batch_norm(h, train, f'dec_{layer}_up_bn',
+                                      act='relu')
             else:
                 h = nn.ConvTranspose(
                     dec_out, (self.kernel_size,), strides=(self.stride,),
                     padding='VALID', name=f'dec_{layer}_up')(h)
-                h = batch_norm(h, train, f'dec_{layer}_up_bn')
-            h = nn.relu(h)
+                h = batch_norm_act(h, train, f'dec_{layer}_up_bn',
+                                   act='relu')
             if layer == self.depth - 1:
                 h = _MultiviewAttention(
                     dec_out, self.segment_len, self.head,

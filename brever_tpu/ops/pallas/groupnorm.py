@@ -89,13 +89,21 @@ def _dsilu(z):
     return s * (1.0 + z * (1.0 - s))
 
 
+def _apply_act(z, act):
+    if act == 'silu':
+        return _silu(z)
+    if act == 'relu':
+        return jnp.maximum(z, 0.0)
+    return z
+
+
 # ---------------------------------------------------------------------------
 # forward
 
 def _fwd_kernel(x_ref, scale_ref, bias_ref, seg_ref,
                 y_ref, mean_ref, rstd_ref,
                 ssum, ssq, aff_a, aff_b,
-                *, n_rows, inv_n, eps, apply_silu, chunk):
+                *, n_rows, inv_n, eps, act, chunk):
     p, j = pl.program_id(1), pl.program_id(2)
 
     @pl.when((p == 0) & (j == 0))
@@ -140,11 +148,10 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, seg_ref,
     @pl.when(p == 1)
     def _():
         z = x * aff_a[...] + aff_b[...]
-        y = _silu(z) if apply_silu else z
-        y_ref[0] = y.astype(y_ref.dtype)
+        y_ref[0] = _apply_act(z, act).astype(y_ref.dtype)
 
 
-def _fwd_pallas(x, scale, bias, num_groups, eps, apply_silu, interpret):
+def _fwd_pallas(x, scale, bias, num_groups, eps, act, interpret):
     b, n, c = x.shape
     out_dt = jnp.result_type(x, scale)
     chunk = _pick_chunk(n, c, x.dtype.itemsize)
@@ -154,7 +161,7 @@ def _fwd_pallas(x, scale, bias, num_groups, eps, apply_silu, interpret):
 
     kernel = functools.partial(
         _fwd_kernel, n_rows=n, inv_n=inv_n, eps=eps,
-        apply_silu=apply_silu, chunk=chunk)
+        act=act, chunk=chunk)
     y, mean_g, rstd_g = pl.pallas_call(
         kernel,
         out_shape=(
@@ -189,7 +196,7 @@ def _fwd_pallas(x, scale, bias, num_groups, eps, apply_silu, interpret):
             flops=10 * b * n * c,
             bytes_accessed=b * n * c
             * (2 * x.dtype.itemsize + out_dt.itemsize),
-            transcendentals=b * n * c if apply_silu else 0,
+            transcendentals=b * n * c if act == 'silu' else 0,
         ),
         interpret=interpret,
     )(x, scale.reshape(1, c), bias.reshape(1, c), seg)
@@ -203,7 +210,7 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
                 mean_ref, rstd_ref,
                 dx_ref, dscale_ref, dbias_ref,
                 s_dz, s_dzx, aff_a, aff_b, mean_c, rstd_c, m1, m2,
-                *, n_rows, inv_n, apply_silu, chunk):
+                *, n_rows, inv_n, act, chunk):
     i, p, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when((i == 0) & (p == 0) & (j == 0))
@@ -230,9 +237,12 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
 
     x = x_ref[0].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
-    if apply_silu:
+    if act == 'silu':
         z = x * aff_a[...] + aff_b[...]
         dz = dy * _dsilu(z)
+    elif act == 'relu':
+        z = x * aff_a[...] + aff_b[...]
+        dz = jnp.where(z > 0.0, dy, 0.0)
     else:
         dz = dy
     xhat = (x - mean_c[...]) * rstd_c[...]
@@ -272,7 +282,7 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
 
 
 def _bwd_pallas(x, dy, scale, bias, mean_g, rstd_g,
-                num_groups, apply_silu, interpret):
+                num_groups, act, interpret):
     b, n, c = x.shape
     chunk = _pick_chunk(n, c, x.dtype.itemsize)
     nc = -(-n // chunk)
@@ -281,7 +291,7 @@ def _bwd_pallas(x, dy, scale, bias, mean_g, rstd_g,
 
     kernel = functools.partial(
         _bwd_kernel, n_rows=n, inv_n=inv_n,
-        apply_silu=apply_silu, chunk=chunk)
+        act=act, chunk=chunk)
     row = lambda: pltpu.VMEM((1, c), jnp.float32)  # noqa: E731
     dx, dscale, dbias = pl.pallas_call(
         kernel,
@@ -312,7 +322,7 @@ def _bwd_pallas(x, dy, scale, bias, mean_g, rstd_g,
         cost_estimate=pl.CostEstimate(
             flops=20 * b * n * c,
             bytes_accessed=b * n * c * 5 * x.dtype.itemsize,
-            transcendentals=2 * b * n * c if apply_silu else 0,
+            transcendentals=2 * b * n * c if act == 'silu' else 0,
         ),
         interpret=interpret,
     )(x, dy, scale.reshape(1, c), bias.reshape(1, c), seg,
@@ -324,26 +334,31 @@ def _bwd_pallas(x, dy, scale, bias, mean_g, rstd_g,
 # custom-VJP wrapper
 
 @functools.lru_cache(maxsize=None)
-def _make_gn_silu_pallas(num_groups, eps, apply_silu, interpret):
-    """custom_vjp GroupNorm(+SiLU) running both directions as Pallas
-    kernels.  Signature matches the jnp twin minus the ext terms."""
+def _make_gn_act_pallas(num_groups, eps, act, interpret, with_stats):
+    """custom_vjp GroupNorm(+activation) running both directions as
+    Pallas kernels.  ``with_stats=True`` additionally returns the
+    per-group (mean, rstd) f32 stats — consumers treat them as
+    stop-gradient (their cotangents are ignored), which is exactly the
+    running-average update of a BatchNorm layer."""
 
     @jax.custom_vjp
     def f(x, scale, bias):
-        y, _, _ = _fwd_pallas(
-            x, scale, bias, num_groups, eps, apply_silu, interpret)
-        return y
+        y, mean_g, rstd_g = _fwd_pallas(
+            x, scale, bias, num_groups, eps, act, interpret)
+        return (y, mean_g, rstd_g) if with_stats else y
 
     def fwd(x, scale, bias):
         y, mean_g, rstd_g = _fwd_pallas(
-            x, scale, bias, num_groups, eps, apply_silu, interpret)
-        return y, (x, scale, bias, mean_g, rstd_g)
+            x, scale, bias, num_groups, eps, act, interpret)
+        out = (y, mean_g, rstd_g) if with_stats else y
+        return out, (x, scale, bias, mean_g, rstd_g)
 
-    def bwd(res, dy):
+    def bwd(res, ct):
         x, scale, bias, mean_g, rstd_g = res
+        dy = ct[0] if with_stats else ct
         dx, dscale, dbias = _bwd_pallas(
             x, dy, scale, bias, mean_g, rstd_g,
-            num_groups, apply_silu, interpret)
+            num_groups, act, interpret)
         return dx, dscale.astype(scale.dtype), dbias.astype(bias.dtype)
 
     f.defvjp(fwd, bwd)
@@ -352,7 +367,19 @@ def _make_gn_silu_pallas(num_groups, eps, apply_silu, interpret):
 
 def gn_silu_pallas(x3, scale, bias, num_groups, eps, apply_silu):
     """(B, N, C) GroupNorm(+SiLU) through the Pallas kernels."""
-    f = _make_gn_silu_pallas(
-        int(num_groups), float(eps), bool(apply_silu),
-        bool(FORCE_INTERPRET))
+    f = _make_gn_act_pallas(
+        int(num_groups), float(eps), 'silu' if apply_silu else 'none',
+        bool(FORCE_INTERPRET), False)
+    return f(x3, scale, bias)
+
+
+def gn_act_stats_pallas(x3, scale, bias, num_groups, eps, act):
+    """(B, N, C) GroupNorm(+activation) -> (y, mean_g, rstd_g).
+
+    The stats are the per-(batch-row, group) f32 batch statistics in
+    the fast-variance form (``var = 1/rstd**2 - eps``); gradients do
+    NOT flow through them (BatchNorm running-average semantics)."""
+    f = _make_gn_act_pallas(
+        int(num_groups), float(eps), str(act),
+        bool(FORCE_INTERPRET), True)
     return f(x3, scale, bias)
