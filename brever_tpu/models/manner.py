@@ -198,8 +198,10 @@ def packed_batch_norm(x, train, name, act='none', momentum=0.99,
                                     lambda: jnp.zeros((c,), jnp.float32))
             ra_var = self.variable('batch_stats', 'var',
                                    lambda: jnp.ones((c,), jnp.float32))
+            import os
             use_kernel = (
                 train and gn_pallas_available()
+                and os.environ.get('BREVER_BN_FUSED', '1') == '1'
                 and x.size * x.dtype.itemsize >= _FUSED_BN_MIN_BYTES)
             if use_kernel:
                 x3 = x.reshape(1, -1, 2 * c)

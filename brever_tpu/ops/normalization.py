@@ -227,8 +227,14 @@ def group_norm_silu(x, scale, bias, num_groups, eps=1e-6,
                   and (gn_pallas_available() if flag == 'auto'
                        else flag == '1'))
     if use_pallas and os.environ.get('BREVER_FUSED_GN', '1') == '1':
+        # rank-4 inputs go to the kernel unreshaped: it blocks over the
+        # second axis, so no (b, f*t, c) merge — when the frame axis is
+        # not sublane-aligned that merge is a physical retiling copy
+        # around EVERY kernel call (measured 37.9 ms/step of copies in
+        # the round-5 sgmsepm per-op profile)
+        xk = x if x.ndim == 4 else x3
         return gn_silu_pallas(
-            x3, scale, bias, num_groups, eps, apply_silu).reshape(shape)
+            xk, scale, bias, num_groups, eps, apply_silu).reshape(shape)
     f = _make_gn_silu(num_groups, float(eps), bool(apply_silu), has_ext)
     # BREVER_FUSED_GN=0: A/B hook — same f32 math through plain
     # autodiff (the SiLU/affine stash the custom VJP exists to avoid),

@@ -75,8 +75,9 @@ def _segments(n_chan, n_groups):
                    np.ones((reps, 1), np.float32))
 
 
-def _row_mask(j, chunk, n_rows):
-    rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+def _row_mask(j, chunk, n_rows, xdim):
+    shape = (chunk,) + (1,) * (xdim - 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     return (j * chunk + rows) < n_rows
 
 
@@ -112,12 +113,13 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, seg_ref,
         ssq[...] = jnp.zeros_like(ssq)
 
     x = x_ref[0].astype(jnp.float32)
+    red = tuple(range(x.ndim - 1))
 
     @pl.when(p == 0)
     def _():
-        xm = jnp.where(_row_mask(j, chunk, n_rows), x, 0.0)
-        ssum[...] += jnp.sum(xm, axis=0, keepdims=True)
-        ssq[...] += jnp.sum(xm * xm, axis=0, keepdims=True)
+        xm = jnp.where(_row_mask(j, chunk, n_rows, x.ndim), x, 0.0)
+        ssum[...] += jnp.sum(xm, axis=red).reshape(ssum.shape)
+        ssq[...] += jnp.sum(xm * xm, axis=red).reshape(ssq.shape)
 
     @pl.when((p == 1) & (j == 0))
     def _():
@@ -151,35 +153,63 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, seg_ref,
         y_ref[0] = _apply_act(z, act).astype(y_ref.dtype)
 
 
+def _plan(x):
+    """Blocking plan shared by both directions.
+
+    Rank 3 ``(b, n, c)``: stream ``(1, chunk, c)`` row blocks.
+    Rank 4 ``(b, f, t, c)``: stream ``(1, fchunk, t, c)`` whole-plane
+    blocks over the f axis — NO ``(b, f*t, c)`` reshape.  When t is not
+    sublane-aligned (t % 8 != 0, e.g. the U-Net's 501/251 frames) that
+    reshape is a physical retiling copy that XLA materializes around
+    every kernel invocation (fwd x + y, bwd x + dy + dx — the round-5
+    sgmsepm per-op profile measured 37.9 ms/step of such copies).
+    """
+    c = x.shape[-1]
+    if x.ndim == 4:
+        b, f, t, _ = x.shape
+        n = f * t
+        chunk = max(1, _CHUNK_BYTES // (t * c * x.dtype.itemsize))
+        chunk = min(chunk, f)
+        blk = (1, chunk, t, c)
+        idx = lambda i, p, j: (i, j, 0, 0)  # noqa: E731
+        n_rows = f
+    else:
+        b, n, c = x.shape
+        chunk = _pick_chunk(n, c, x.dtype.itemsize)
+        blk = (1, chunk, c)
+        idx = lambda i, p, j: (i, j, 0)  # noqa: E731
+        n_rows = n
+    nb = -(-n_rows // chunk)
+    return b, n, c, chunk, blk, idx, n_rows, nb
+
+
 def _fwd_pallas(x, scale, bias, num_groups, eps, act, interpret):
-    b, n, c = x.shape
     out_dt = jnp.result_type(x, scale)
-    chunk = _pick_chunk(n, c, x.dtype.itemsize)
-    nc = -(-n // chunk)
+    b, n, c, chunk, blk, idx, n_rows, nb = _plan(x)
     seg = jnp.asarray(_segments(c, num_groups))
     inv_n = 1.0 / (n * (c // num_groups))
 
     kernel = functools.partial(
-        _fwd_kernel, n_rows=n, inv_n=inv_n, eps=eps,
+        _fwd_kernel, n_rows=n_rows, inv_n=inv_n, eps=eps,
         act=act, chunk=chunk)
     y, mean_g, rstd_g = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, c), out_dt),
+            jax.ShapeDtypeStruct(x.shape, out_dt),
             # stats are (b, 1, G) so each block spans the last two dims
             # exactly (Mosaic requires lane/sublane-aligned or full)
             jax.ShapeDtypeStruct((b, 1, num_groups), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, num_groups), jnp.float32),
         ),
-        grid=(b, 2, nc),
+        grid=(b, 2, nb),
         in_specs=[
-            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+            pl.BlockSpec(blk, idx),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
             pl.BlockSpec((c, num_groups), lambda i, p, j: (0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+            pl.BlockSpec(blk, idx),
             pl.BlockSpec((1, 1, num_groups), lambda i, p, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, num_groups), lambda i, p, j: (i, 0, 0)),
         ),
@@ -237,6 +267,7 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
 
     x = x_ref[0].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
+    red = tuple(range(x.ndim - 1))
     if act == 'silu':
         z = x * aff_a[...] + aff_b[...]
         dz = dy * _dsilu(z)
@@ -249,11 +280,11 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
 
     @pl.when(p == 0)
     def _():
-        mask = _row_mask(j, chunk, n_rows)
+        mask = _row_mask(j, chunk, n_rows, x.ndim)
         dzm = jnp.where(mask, dz, 0.0)
-        s_dz[...] += jnp.sum(dzm, axis=0, keepdims=True)
+        s_dz[...] += jnp.sum(dzm, axis=red).reshape(s_dz.shape)
         s_dzx[...] += jnp.sum(jnp.where(mask, dz * xhat, 0.0),
-                              axis=0, keepdims=True)
+                              axis=red).reshape(s_dzx.shape)
 
     @pl.when((p == 1) & (j == 0))
     def _():
@@ -283,27 +314,24 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
 
 def _bwd_pallas(x, dy, scale, bias, mean_g, rstd_g,
                 num_groups, act, interpret):
-    b, n, c = x.shape
-    chunk = _pick_chunk(n, c, x.dtype.itemsize)
-    nc = -(-n // chunk)
+    b, n, c, chunk, blk, idx, n_rows, nb = _plan(x)
     seg = jnp.asarray(_segments(c, num_groups))
     inv_n = 1.0 / (n * (c // num_groups))
 
     kernel = functools.partial(
-        _bwd_kernel, n_rows=n, inv_n=inv_n,
+        _bwd_kernel, n_rows=n_rows, inv_n=inv_n,
         act=act, chunk=chunk)
-    row = lambda: pltpu.VMEM((1, c), jnp.float32)  # noqa: E731
     dx, dscale, dbias = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
         ),
-        grid=(b, 2, nc),
+        grid=(b, 2, nb),
         in_specs=[
-            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
-            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+            pl.BlockSpec(blk, idx),
+            pl.BlockSpec(blk, idx),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
             pl.BlockSpec((c, num_groups), lambda i, p, j: (0, 0)),
@@ -311,11 +339,12 @@ def _bwd_pallas(x, dy, scale, bias, mean_g, rstd_g,
             pl.BlockSpec((1, 1, num_groups), lambda i, p, j: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, chunk, c), lambda i, p, j: (i, j, 0)),
+            pl.BlockSpec(blk, idx),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
         ),
-        scratch_shapes=[row() for _ in range(8)],
+        scratch_shapes=[pltpu.VMEM((1, c), jnp.float32)
+                        for _ in range(8)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
             vmem_limit_bytes=_VMEM_LIMIT),
