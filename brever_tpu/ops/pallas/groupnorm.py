@@ -69,10 +69,29 @@ def _pick_chunk(n_rows, n_chan, itemsize):
 def _segments(n_chan, n_groups):
     """(C, G) 0/1 segment matrix: column g marks the channels of group
     g.  ``sums @ seg`` reduces channels to groups; ``stats @ seg.T``
-    broadcasts groups back to channels."""
+    broadcasts groups back to channels.
+
+    When ``n_groups == n_chan`` (the flash-BN case) both maps are the
+    identity; callers pass a (1, 1) placeholder instead — a C x C
+    identity is O(C^2) VMEM (14.7 MB at MANNER's C=1920, which
+    overflowed the 64 MB scoped limit on hardware)."""
     reps = n_chan // n_groups
     return np.kron(np.eye(n_groups, dtype=np.float32),
                    np.ones((reps, 1), np.float32))
+
+
+def _to_groups(v, seg, identity):
+    if identity:
+        return v
+    return jnp.dot(v, seg, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _to_channels(g, seg, identity):
+    if identity:
+        return g
+    return jnp.dot(g, seg.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _row_mask(j, chunk, n_rows, xdim):
@@ -104,7 +123,7 @@ def _apply_act(z, act):
 def _fwd_kernel(x_ref, scale_ref, bias_ref, seg_ref,
                 y_ref, mean_ref, rstd_ref,
                 ssum, ssq, aff_a, aff_b,
-                *, n_rows, inv_n, eps, act, chunk):
+                *, n_rows, inv_n, eps, act, chunk, identity):
     p, j = pl.program_id(1), pl.program_id(2)
 
     @pl.when((p == 0) & (j == 0))
@@ -124,12 +143,8 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, seg_ref,
     @pl.when((p == 1) & (j == 0))
     def _():
         seg = seg_ref[...]
-        gsum = jnp.dot(ssum[...], seg,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        gsq = jnp.dot(ssq[...], seg,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+        gsum = _to_groups(ssum[...], seg, identity)
+        gsq = _to_groups(ssq[...], seg, identity)
         mean_g = gsum * inv_n
         var_g = gsq * inv_n - mean_g * mean_g
         rstd_g = jax.lax.rsqrt(var_g + eps)
@@ -137,12 +152,8 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, seg_ref,
         rstd_ref[0] = rstd_g
         # broadcast to channels and fold the learned affine:
         # z = xhat*scale + bias = x*a + b
-        mean_c = jnp.dot(mean_g, seg.T,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        rstd_c = jnp.dot(rstd_g, seg.T,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+        mean_c = _to_channels(mean_g, seg, identity)
+        rstd_c = _to_channels(rstd_g, seg, identity)
         a = scale_ref[...].astype(jnp.float32) * rstd_c
         aff_a[...] = a
         aff_b[...] = bias_ref[...].astype(jnp.float32) - mean_c * a
@@ -186,12 +197,14 @@ def _plan(x):
 def _fwd_pallas(x, scale, bias, num_groups, eps, act, interpret):
     out_dt = jnp.result_type(x, scale)
     b, n, c, chunk, blk, idx, n_rows, nb = _plan(x)
-    seg = jnp.asarray(_segments(c, num_groups))
+    identity = num_groups == c
+    seg = jnp.zeros((1, 1), jnp.float32) if identity \
+        else jnp.asarray(_segments(c, num_groups))
     inv_n = 1.0 / (n * (c // num_groups))
 
     kernel = functools.partial(
         _fwd_kernel, n_rows=n_rows, inv_n=inv_n, eps=eps,
-        act=act, chunk=chunk)
+        act=act, chunk=chunk, identity=identity)
     y, mean_g, rstd_g = pl.pallas_call(
         kernel,
         out_shape=(
@@ -206,7 +219,7 @@ def _fwd_pallas(x, scale, bias, num_groups, eps, act, interpret):
             pl.BlockSpec(blk, idx),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
-            pl.BlockSpec((c, num_groups), lambda i, p, j: (0, 0)),
+            pl.BlockSpec(seg.shape, lambda i, p, j: (0, 0)),
         ],
         out_specs=(
             pl.BlockSpec(blk, idx),
@@ -240,7 +253,7 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
                 mean_ref, rstd_ref,
                 dx_ref, dscale_ref, dbias_ref,
                 s_dz, s_dzx, aff_a, aff_b, mean_c, rstd_c, m1, m2,
-                *, n_rows, inv_n, act, chunk):
+                *, n_rows, inv_n, act, chunk, identity):
     i, p, j = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
     @pl.when((i == 0) & (p == 0) & (j == 0))
@@ -251,12 +264,8 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
     @pl.when((p == 0) & (j == 0))
     def _():
         seg = seg_ref[...]
-        mc = jnp.dot(mean_ref[0], seg.T,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-        rc = jnp.dot(rstd_ref[0], seg.T,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+        mc = _to_channels(mean_ref[0], seg, identity)
+        rc = _to_channels(rstd_ref[0], seg, identity)
         mean_c[...] = mc
         rstd_c[...] = rc
         a = scale_ref[...].astype(jnp.float32) * rc
@@ -292,18 +301,12 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
         dscale_ref[...] += s_dzx[...]
         dbias_ref[...] += s_dz[...]
         scale32 = scale_ref[...].astype(jnp.float32)
-        m1[...] = jnp.dot(
-            jnp.dot(s_dz[...] * scale32, seg,
-                    preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) * inv_n,
-            seg.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        m2[...] = jnp.dot(
-            jnp.dot(s_dzx[...] * scale32, seg,
-                    preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST) * inv_n,
-            seg.T, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        m1[...] = _to_channels(
+            _to_groups(s_dz[...] * scale32, seg, identity) * inv_n,
+            seg, identity)
+        m2[...] = _to_channels(
+            _to_groups(s_dzx[...] * scale32, seg, identity) * inv_n,
+            seg, identity)
 
     @pl.when(p == 1)
     def _():
@@ -315,12 +318,14 @@ def _bwd_kernel(x_ref, dy_ref, scale_ref, bias_ref, seg_ref,
 def _bwd_pallas(x, dy, scale, bias, mean_g, rstd_g,
                 num_groups, act, interpret):
     b, n, c, chunk, blk, idx, n_rows, nb = _plan(x)
-    seg = jnp.asarray(_segments(c, num_groups))
+    identity = num_groups == c
+    seg = jnp.zeros((1, 1), jnp.float32) if identity \
+        else jnp.asarray(_segments(c, num_groups))
     inv_n = 1.0 / (n * (c // num_groups))
 
     kernel = functools.partial(
         _bwd_kernel, n_rows=n_rows, inv_n=inv_n,
-        act=act, chunk=chunk)
+        act=act, chunk=chunk, identity=identity)
     dx, dscale, dbias = pl.pallas_call(
         kernel,
         out_shape=(
@@ -334,7 +339,7 @@ def _bwd_pallas(x, dy, scale, bias, mean_g, rstd_g,
             pl.BlockSpec(blk, idx),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
             pl.BlockSpec((1, c), lambda i, p, j: (0, 0)),
-            pl.BlockSpec((c, num_groups), lambda i, p, j: (0, 0)),
+            pl.BlockSpec(seg.shape, lambda i, p, j: (0, 0)),
             pl.BlockSpec((1, 1, num_groups), lambda i, p, j: (i, 0, 0)),
             pl.BlockSpec((1, 1, num_groups), lambda i, p, j: (i, 0, 0)),
         ],
