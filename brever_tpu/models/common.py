@@ -75,9 +75,13 @@ def batch_norm_act(x, train, name, act='none', momentum=0.99,
             ra_var = self.variable('batch_stats', 'var',
                                    lambda: jnp.ones((c,), jnp.float32))
             import os
+            # Default OFF: the kernel is parity-green in CPU interpret
+            # mode but faulted the TPU worker at MANNER's shapes on
+            # hardware (r5d, PERF.md) — opt back in with
+            # BREVER_BN_FUSED=1 once the Mosaic fault is isolated.
             use_kernel = (
                 train and gn_pallas_available()
-                and os.environ.get('BREVER_BN_FUSED', '1') == '1'
+                and os.environ.get('BREVER_BN_FUSED', '0') == '1'
                 and x.size * x.dtype.itemsize >= _FUSED_BN_MIN_BYTES)
             if use_kernel:
                 x3 = x.reshape(1, -1, c)

@@ -33,6 +33,7 @@ def _pallas_interpret(monkeypatch):
     monkeypatch.setattr(gnp, 'FORCE_INTERPRET', True)
     monkeypatch.setattr(gnp, '_CHUNK_BYTES', 8 * 1024)  # masked tails
     monkeypatch.setattr(common, '_FUSED_BN_MIN_BYTES', 0)
+    monkeypatch.setenv('BREVER_BN_FUSED', '1')  # default-off since r5d
     return gnp
 
 
