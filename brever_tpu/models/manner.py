@@ -199,9 +199,11 @@ def packed_batch_norm(x, train, name, act='none', momentum=0.99,
             ra_var = self.variable('batch_stats', 'var',
                                    lambda: jnp.ones((c,), jnp.float32))
             import os
+            # default OFF since the r5d on-chip kernel fault (PERF.md);
+            # BREVER_BN_FUSED=1 opts back in
             use_kernel = (
                 train and gn_pallas_available()
-                and os.environ.get('BREVER_BN_FUSED', '1') == '1'
+                and os.environ.get('BREVER_BN_FUSED', '0') == '1'
                 and x.size * x.dtype.itemsize >= _FUSED_BN_MIN_BYTES)
             if use_kernel:
                 x3 = x.reshape(1, -1, 2 * c)
