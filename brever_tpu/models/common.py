@@ -42,6 +42,15 @@ def batch_norm(x, train, name, momentum=0.99, epsilon=1e-5):
 #: Pallas kernel (below this, dispatch overhead beats the byte savings)
 _FUSED_BN_MIN_BYTES = 2 * 1024 * 1024
 
+#: maximum channel (lane) width for the fused kernel: the flash-GN
+#: BACKWARD hangs Mosaic compilation at C=1920 on v5e (standalone
+#: bisect r5, /tmp/gn_repro2: C in {60..1536} compile+run in ~1 s,
+#: C=1920 exceeds a 600 s timeout at every attempt; the one full-model
+#: compile that got through, r5d manner at 567 s, crashed the TPU
+#: worker at dispatch).  MANNER's sole wider BN (dec in_bn, C=1920,
+#: ~31 MB) falls back to XLA — its byte win was negligible anyway.
+_FUSED_BN_MAX_C = 1536
+
 
 def batch_norm_act(x, train, name, act='none', momentum=0.99,
                    epsilon=1e-5):
@@ -75,13 +84,14 @@ def batch_norm_act(x, train, name, act='none', momentum=0.99,
             ra_var = self.variable('batch_stats', 'var',
                                    lambda: jnp.ones((c,), jnp.float32))
             import os
-            # Default OFF: the kernel is parity-green in CPU interpret
-            # mode but faulted the TPU worker at MANNER's shapes on
-            # hardware (r5d, PERF.md) — opt back in with
-            # BREVER_BN_FUSED=1 once the Mosaic fault is isolated.
+            # The r5d on-chip fault was bisected to the backward kernel
+            # at C=1920 (see _FUSED_BN_MAX_C); every narrower MANNER
+            # shape class passes standalone.  BREVER_BN_FUSED=0 force-
+            # disables; default follows the hardware A/B (PERF.md).
             use_kernel = (
                 train and gn_pallas_available()
                 and os.environ.get('BREVER_BN_FUSED', '0') == '1'
+                and c <= _FUSED_BN_MAX_C
                 and x.size * x.dtype.itemsize >= _FUSED_BN_MIN_BYTES)
             if use_kernel:
                 x3 = x.reshape(1, -1, c)

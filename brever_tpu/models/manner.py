@@ -190,7 +190,7 @@ def packed_batch_norm(x, train, name, act='none', momentum=0.99,
                 gn_act_stats_pallas,
                 gn_pallas_available,
             )
-            from .common import _FUSED_BN_MIN_BYTES
+            from .common import _FUSED_BN_MAX_C, _FUSED_BN_MIN_BYTES
             c = x.shape[-1] // 2
             scale = self.param('scale', nn.initializers.ones, (c,))
             bias = self.param('bias', nn.initializers.zeros, (c,))
@@ -199,11 +199,12 @@ def packed_batch_norm(x, train, name, act='none', momentum=0.99,
             ra_var = self.variable('batch_stats', 'var',
                                    lambda: jnp.ones((c,), jnp.float32))
             import os
-            # default OFF since the r5d on-chip kernel fault (PERF.md);
-            # BREVER_BN_FUSED=1 opts back in
+            # r5d fault bisected to C=1920 bwd (common._FUSED_BN_MAX_C);
+            # BREVER_BN_FUSED gates the hardware A/B (PERF.md)
             use_kernel = (
                 train and gn_pallas_available()
                 and os.environ.get('BREVER_BN_FUSED', '0') == '1'
+                and 2 * c <= _FUSED_BN_MAX_C
                 and x.size * x.dtype.itemsize >= _FUSED_BN_MIN_BYTES)
             if use_kernel:
                 x3 = x.reshape(1, -1, 2 * c)
