@@ -134,6 +134,24 @@ def test_fused_bn_bf16_trunk(_pallas_interpret):
         rtol=0.1, atol=0.02)
 
 
+def test_wide_channels_fall_back_to_xla(_pallas_interpret, monkeypatch):
+    """C above _FUSED_BN_MAX_C must NOT route through the kernel even
+    when opted in: the flash-GN backward hangs Mosaic at C=1920 on v5e
+    (round-5 bisect, PERF.md) — the cap is the shipped guard."""
+    import brever_tpu.ops.pallas.groupnorm as gnp
+
+    def boom(*a, **k):
+        raise AssertionError('kernel must not be called above the cap')
+
+    monkeypatch.setattr(gnp, 'gn_act_stats_pallas', boom)
+    monkeypatch.setattr(common, '_FUSED_BN_MAX_C', 32)
+    x = _data()  # C=60 > patched cap of 32
+    fused = _Fused('relu')
+    v = fused.init(jax.random.PRNGKey(0), x, train=False)
+    y, _ = fused.apply(v, x, train=True, mutable=['batch_stats'])
+    assert np.isfinite(np.asarray(y)).all()
+
+
 @pytest.mark.parametrize('act', ['none', 'silu'])
 def test_packed_bn_kernel_matches_fallback(_pallas_interpret, act,
                                            monkeypatch):
