@@ -29,6 +29,17 @@ batch grid into a revisited output block (same pattern as the flash-TCN
 Supports the ``has_ext=False`` configurations (the NCSN default used by
 every registered sgmse arch); the ADM external-affine path falls back
 to the jnp twin.
+
+Known toolchain hazard (round-5 bisect, PERF.md): the BACKWARD kernel
+hangs Mosaic compilation (>600 s, reproducible) at some block
+geometries — observed at ``(n=3984, c=1920, f32)`` and
+``(n=3984, c=960, bf16)`` while immediate neighbors (``c<=1536`` f32,
+``n=16000 c=960`` bf16) compile in ~1 s.  Every geometry the
+registered sgmse configs produce is compile-proven on hardware; the
+flash-BN consumer (``models/common.batch_norm_act``) is gated OFF by
+default because MANNER's geometry set hits the hazard.  If an unusual
+clip length ever hangs an sgmse compile, set ``BREVER_GN_PALLAS=0``
+(jnp custom-VJP twin, same numerics) and report the geometry.
 """
 
 import functools
